@@ -1,0 +1,72 @@
+"""CSV → record DataFrame, matching the reference reader's options.
+
+Reference reader: ``/root/reference/pkg/reader/csv.go:33-80`` — configurable
+one-char delimiter, comment char, ``withHeader`` (skip first row),
+``lazyQuotes``; malformed rows are *skipped*, not fatal
+(``pkg/reader/batch.go:119-123``). Glob paths expand via Spark's own file
+listing (the reference expands them in config,
+``pkg/config/v3/source.go:76-97`` — S10).
+
+Source-scheme dispatch (S1–S8: local/S3/OSS/FTP/SFTP/HDFS/GCS) collapses to
+the Hadoop filesystem URI: ``spark.read.csv`` accepts ``file://``, ``s3a://``,
+``hdfs://``, ``gs://`` … paths directly, so every reference source kind that
+has a Hadoop FS scheme is covered by the same code path. The SQL source (S9)
+maps to ``spark.read.jdbc`` with range partitioning (see sources/jdbc.py).
+
+The record is materialized as a single ``record: array<string>`` column —
+the DataFrame analog of the reference's ``type Record []string``
+(``pkg/spec/base/record.go:3-6``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nebula_importer_spark.operators.mapping import RECORD_COL
+
+
+def read_records_csv(
+    spark: SparkSession,
+    path: str,
+    delimiter: str = ",",
+    comment: str = "",
+    with_header: bool = False,
+    lazy_quotes: bool = False,
+    n_columns: Optional[int] = None,
+) -> DataFrame:
+    """Read CSV into a DataFrame with one ``record: array<string>`` column.
+
+    Malformed rows are dropped (mode=DROPMALFORMED), mirroring the
+    reference's skip-and-continue on CSV parse errors (batch.go:119-123).
+    """
+    reader = (
+        spark.read.option("sep", delimiter)
+        .option("header", with_header)
+        .option("inferSchema", False)
+        .option("mode", "DROPMALFORMED")
+        .option("emptyValue", "")
+    )
+    if comment:
+        reader = reader.option("comment", comment)
+    if lazy_quotes:
+        # closest Spark analog of encoding/csv's LazyQuotes
+        reader = reader.option("unescapedQuoteHandling", "STOP_AT_CLOSING_QUOTE")
+    df = reader.csv(path)
+    if n_columns is not None:
+        df = df.select(df.columns[:n_columns])
+    return records_from_columns(df, df.columns)
+
+
+def records_from_columns(df: DataFrame, cols: Optional[Sequence[str]] = None) -> DataFrame:
+    """Pack string-cast columns into a ``record: array<string>`` column.
+
+    This is how typed tables (parquet/Iceberg/JDBC) enter the mapping core:
+    each configured column position becomes ``record[i]``, exactly like a
+    CSV cell. Null cells become '' (encoding/csv yields '' for empty).
+    """
+    names = list(cols) if cols is not None else df.columns
+    arr = F.array(*[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in names])
+    return df.withColumn(RECORD_COL, arr)
