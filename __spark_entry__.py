@@ -1,38 +1,54 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship KG-construction pipeline (extract →
+link → canonicalize → materialize over an interleaved spans corpus with
+reference-fixture replay). ``queries()`` / ``oracle_sql()`` expose each
+implemented operator from SURVEY.md §2 plus the training-data-pipeline
+additions; bodies live in :mod:`nebula_importer_spark.contract`.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full KG pipeline over an interleaved corpus at sf0.001.
+
+    The corpus derives from the driver's documents table, with the
+    reference's person.csv golden fixture embedded as table_row spans so the
+    emitted triples include the importer-parity mapping output.
+    """
+    from pyspark.sql import functions as F
+
+    from nebula_importer_spark.fixtures import PERSON_CSV_LINES, person_spec
+    from nebula_importer_spark.pipeline.corpus import synthetic_corpus
+    from nebula_importer_spark.pipeline.run import run_pipeline
+
+    corpus = synthetic_corpus(
+        spark, n_docs=500, seed=42, fixture_rows=PERSON_CSV_LINES, partitions=8
+    )
+    result = run_pipeline(
+        spark,
+        corpus,
+        fixture_node_specs=[person_spec()],
+    )
+    return result.triples
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from nebula_importer_spark.contract import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from nebula_importer_spark.contract import ORACLES
+
+    return dict(ORACLES)

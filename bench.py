@@ -1,0 +1,107 @@
+"""Benchmark harness: headline queries + KG-pipeline throughput.
+
+Runs the headline contract queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and the flagship
+KG-construction pipeline over a deterministic synthetic interleaved corpus
+sized to the scale factor. Prints ONE JSON line:
+
+    {"metric": "headline_total_sec", "value": N, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": 0.1,
+     "pipeline": {"n_docs": ..., "n_triples": ..., "wall_sec": ...,
+                  "triples_per_sec": ...}, "cpus": 32}
+
+Scaling-efficiency evidence (N vs 4N parallelism) is produced by
+``tools/bench_scaling.py`` which invokes this file at two core counts.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "map_vertex_insert",
+    "map_edge_rank",
+    "map_statements_vertex",
+    "map_type_conversions",
+    "text_quality",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "kg_triples_docs",
+    "kg_canonicalize_cc",
+    "kg_skew_twophase",
+    "spans_roundtrip",
+]
+
+
+def _force(df) -> int:
+    """Fully execute a DataFrame without driver-side materialization."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.0
+
+    from nebula_importer_spark.contract import QUERIES
+    from nebula_importer_spark.fixtures import PERSON_CSV_LINES, person_spec
+    from nebula_importer_spark.pipeline.corpus import synthetic_corpus
+    from nebula_importer_spark.pipeline.run import run_pipeline
+    from nebula_importer_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="nebula-importer-spark-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 32),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.time()
+        _force(fn(spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    # flagship pipeline throughput on a corpus sized to the scale factor
+    n_docs = max(500, int(sf * 50_000))
+    corpus = synthetic_corpus(
+        spark, n_docs=n_docs, seed=42, fixture_rows=PERSON_CSV_LINES,
+        partitions=max(cpus, 8),
+    )
+    t0 = time.time()
+    result = run_pipeline(spark, corpus, fixture_node_specs=[person_spec()])
+    n_triples = result.triples.count()
+    wall = time.time() - t0
+    timings["kg_pipeline"] = round(wall, 3)
+
+    out = {
+        "metric": "headline_total_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "pipeline": {
+            "n_docs": n_docs,
+            "n_triples": n_triples,
+            "wall_sec": round(wall, 3),
+            "triples_per_sec": round(n_triples / wall, 1),
+        },
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,729 @@
+"""Driver-contract queries and their DuckDB oracle SQL.
+
+Each entry in :data:`QUERIES` is a callable ``(spark, sf_dir) -> DataFrame``
+exercising one implemented operator (SURVEY.md §2 mapping core + the
+training-data-pipeline additions); :data:`ORACLES` holds the equivalent ANSI
+SQL DuckDB runs on the same parquet tables. Column names/types are aligned on
+both sides — the driver compares row count + schema + order-insensitive
+value hash.
+
+Engine-portability rules used throughout (so Spark and DuckDB render
+identical values):
+
+* doubles never cross the boundary raw — they are either rendered through
+  the reference's literal rules (mapping queries) with ranges < 1e7 (Spark
+  switches to scientific notation at 1e7), or rounded into DECIMAL;
+* timestamps are truncated to seconds before stringification (Spark trims
+  trailing zeros in fractional seconds, DuckDB does not);
+* hashes are md5 (identical in both engines); min() over fixed-width
+  lowercase hex == numeric min.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nebula_importer_spark.operators.dedup import (
+    exact_duplicates,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+)
+from nebula_importer_spark.operators.mapping import edge_values, node_values
+from nebula_importer_spark.operators.similarity import (
+    ann_lsh_topk,
+    cosine_topk,
+    embedding_cosine_pairs,
+)
+from nebula_importer_spark.operators.statements import assemble_statements
+from nebula_importer_spark.operators.textstats import (
+    fingerprints,
+    lang_id,
+    quality_scores,
+    token_counts,
+)
+from nebula_importer_spark.operators.triples import edge_triples, node_triples
+from nebula_importer_spark.pipeline.canonicalize import canonical_mapping
+from nebula_importer_spark.pipeline.corpus import (
+    explode_spans,
+    interleave_documents,
+    reassemble,
+)
+from nebula_importer_spark.plans.specs import EdgeSpec, NodeIDSpec, NodeSpec, PropSpec, RankSpec
+from nebula_importer_spark.sources.csv import records_from_columns
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Mapping-core specs (reference row→graph semantics over driver tables)
+# ---------------------------------------------------------------------------
+
+def customer_spec(mode: str = "INSERT", filter_: str | None = None) -> NodeSpec:
+    return NodeSpec(
+        name="Customer",
+        id=NodeIDSpec(type="STRING", concat_items=["c_", 0]),
+        props=[
+            PropSpec("name", "STRING", 1),
+            PropSpec("nationkey", "INT", 2),
+            PropSpec("acctbal", "DOUBLE", 3),
+            PropSpec(
+                "mktsegment", "STRING", 4,
+                nullable=True, null_value="", default_value="GENERAL",
+            ),
+        ],
+        mode=mode,
+        filter=filter_,
+    )
+
+
+def _customer_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+    return records_from_columns(df)
+
+
+PLACED_SPEC = dict(
+    name="placed",
+    src=NodeIDSpec(type="STRING", concat_items=["c_", 1]),
+    dst=NodeIDSpec(type="INT", index=0),
+    props=[PropSpec("status", "STRING", 2), PropSpec("priority", "STRING", 5)],
+)
+
+
+def _orders_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    )
+    return records_from_columns(df)
+
+
+CONTAINS_SPEC = dict(
+    name="contains",
+    src=NodeIDSpec(type="INT", index=0),
+    dst=NodeIDSpec(type="INT", index=1),
+    rank=RankSpec(index=3),
+    props=[PropSpec("quantity", "DOUBLE", 4), PropSpec("returnflag", "STRING", 5)],
+)
+
+
+def _lineitem_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_returnflag",
+    )
+    return records_from_columns(df)
+
+
+def _events_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-projection exercising every value-type converter (SURVEY §1.2)."""
+    ev = _t(spark, sf_dir, "events")
+    dt = F.date_trunc("second", F.col("ts")).cast("string")
+    pre = ev.select(
+        F.col("event_id"),
+        F.col("ts").cast("date").cast("string").alias("d"),
+        dt.alias("dt"),
+        F.unix_timestamp(F.col("ts")).cast("string").alias("epoch"),
+        F.when(F.col("event_type") == "click", F.lit("")).otherwise(F.col("event_type")).alias("etype"),
+        (F.col("value") > 100).cast("string").alias("big"),
+        F.concat(F.lit("POINT("), F.col("value").cast("decimal(12,2)").cast("string"), F.lit(" 0)")).alias("wkt"),
+        F.substring(dt, 12, 8).alias("t"),
+    )
+    return records_from_columns(pre)
+
+
+EVENT_SPEC = NodeSpec(
+    name="Event",
+    id=NodeIDSpec(type="INT", index=0),
+    props=[
+        PropSpec("day", "DATE", 1),
+        PropSpec("created", "DATETIME", 2),
+        PropSpec("ts_epoch", "TIMESTAMP", 3),
+        PropSpec("ts_text", "TIMESTAMP", 2),
+        PropSpec("etype", "STRING", 4, nullable=True, null_value="", default_value="unknown"),
+        PropSpec("big", "BOOL", 5),
+        PropSpec("loc", "GEOGRAPHY(POINT)", 6),
+        PropSpec("t", "TIME", 7),
+    ],
+)
+
+
+# ---------------------------------------------------------------------------
+# KG extraction over the flat documents table
+# ---------------------------------------------------------------------------
+
+GAZETTEER = ("spark", "customer", "table", "window", "stream", "join")
+ALIASES = {
+    "spark": "product::spark",
+    "flink": "product::flink",
+    "customer": "entity::customer",
+    "table": "concept::table",
+    "window": "concept::window",
+    "stream": "concept::stream",
+    "join": "op::join",
+}
+
+
+def _mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    toks = docs.select("doc_id", F.explode(F.split(norm, " ")).alias("term"))
+    return (
+        toks.where(F.col("term").isin(*GAZETTEER))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _linked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    alias_df = spark.createDataFrame(
+        sorted(ALIASES.items()), "term string, entity string"
+    )
+    return (
+        _mentions(spark, sf_dir)
+        .join(F.broadcast(alias_df), "term")
+        .groupBy("doc_id", "entity")
+        .agg(F.sum("n").alias("n"))
+    )
+
+
+def _doc_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    subj = F.concat(F.lit("doc:"), F.col("doc_id").cast("string"))
+    tags = docs.select(subj.alias("subj"), F.lit("tag:Document").alias("pred"), F.lit("NULL").alias("obj"))
+    langs = docs.select(
+        subj.alias("subj"), F.lit("Document.lang").alias("pred"),
+        F.concat(F.lit('"'), F.col("lang"), F.lit('"')).alias("obj"),
+    )
+    mentions = _linked(spark, sf_dir).select(
+        F.concat(F.lit("doc:"), F.col("doc_id").cast("string")).alias("subj"),
+        F.lit("mentions").alias("pred"),
+        F.col("entity").alias("obj"),
+    )
+    return tags.unionByName(langs).unionByName(mentions).dropDuplicates()
+
+
+# ---------------------------------------------------------------------------
+# queries()
+# ---------------------------------------------------------------------------
+
+def q_map_vertex_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return node_triples(node_values(_customer_records(spark, sf_dir), customer_spec()), customer_spec())
+
+
+def q_map_vertex_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spec = customer_spec(
+        filter_='Record[4] == "BUILDING" || Record[4] == "AUTOMOBILE"'
+    )
+    return node_triples(node_values(_customer_records(spark, sf_dir), spec), spec)
+
+
+def q_map_edge_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spec = EdgeSpec(**PLACED_SPEC)
+    return edge_triples(edge_values(_orders_records(spark, sf_dir), spec), spec)
+
+
+def q_map_edge_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spec = EdgeSpec(**CONTAINS_SPEC)
+    return edge_triples(edge_values(_lineitem_records(spark, sf_dir), spec), spec)
+
+
+def q_map_type_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return node_triples(node_values(_events_records(spark, sf_dir), EVENT_SPEC), EVENT_SPEC)
+
+
+def q_map_statements_vertex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spec = customer_spec()
+    vals = node_values(_customer_records(spark, sf_dir), spec)
+    ordered = vals.coalesce(1).sortWithinPartitions(F.col("record")[0].cast("long"))
+    return assemble_statements(ordered, spec, batch=128)
+
+
+def q_map_update_vertex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spec = customer_spec(mode="UPDATE")
+    vals = node_values(_customer_records(spark, sf_dir), spec)
+    return assemble_statements(vals, spec, batch=1)
+
+
+def q_map_delete_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spec = EdgeSpec(**{**PLACED_SPEC, "props": []}, mode="DELETE")
+    vals = edge_values(_orders_records(spark, sf_dir), spec)
+    ordered = vals.coalesce(1).sortWithinPartitions(F.col("record")[0].cast("long"))
+    return assemble_statements(ordered, spec, batch=128)
+
+
+def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_counts(_t(spark, sf_dir, "documents"))
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_scores(_t(spark, sf_dir, "documents"))
+
+
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_id(_t(spark, sf_dir, "documents"))
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprints(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_duplicates(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.3)
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.3)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_fingerprints(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_cosine_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.45)
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann_lsh_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
+
+
+def q_kg_extract_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _mentions(spark, sf_dir)
+
+
+def q_kg_link_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _linked(spark, sf_dir)
+
+
+def q_kg_triples_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _doc_triples(spark, sf_dir)
+
+
+def q_kg_canonicalize_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.3)
+    return canonical_mapping(docs, pairs)
+
+
+def q_kg_skew_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over the (hot-key) predicate column.
+
+    Phase 1 groups by (pred, salt) so a hot predicate spreads over 16
+    reducers; phase 2 merges the 16 partials. The salted shuffle is the
+    skew treatment mandated by the north rule for rdf:type-like edges.
+    """
+    triples = _doc_triples(spark, sf_dir)
+    salted = triples.withColumn("salt", F.pmod(F.xxhash64("subj"), F.lit(16)))
+    partial = salted.groupBy("pred", "salt").agg(F.count("*").alias("pn"))
+    return partial.groupBy("pred").agg(F.sum("pn").alias("n"))
+
+
+def q_spans_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """input_hint invariant: interleave → explode → reassemble == normalized text."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = interleave_documents(docs.select(F.col("doc_id").cast("string").alias("doc_id"), "text"))
+    spans = explode_spans(corpus)
+    rebuilt = (
+        spans.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct(F.col("offset").alias("o"), F.col("text").alias("t")))),
+                    lambda s: s["t"],
+                ),
+                " ",
+            ).alias("rebuilt")
+        )
+    )
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    orig = docs.select(F.col("doc_id").cast("string").alias("doc_id"), norm.alias("norm"))
+    return rebuilt.join(orig, "doc_id").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        (F.col("rebuilt") == F.col("norm")).alias("ok"),
+    )
+
+
+def q_spans_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    corpus = interleave_documents(docs.select(F.col("doc_id").cast("string").alias("doc_id"), "text"))
+    spans = explode_spans(corpus)
+    return spans.groupBy("kind").agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.when(F.col("media_ref") != "", 1).otherwise(0)).alias("n_media"),
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "map_vertex_insert": q_map_vertex_insert,
+    "map_vertex_filter": q_map_vertex_filter,
+    "map_edge_insert": q_map_edge_insert,
+    "map_edge_rank": q_map_edge_rank,
+    "map_type_conversions": q_map_type_conversions,
+    "map_statements_vertex": q_map_statements_vertex,
+    "map_update_vertex": q_map_update_vertex,
+    "map_delete_edge": q_map_delete_edge,
+    "text_token_count": q_text_token_count,
+    "text_quality": q_text_quality,
+    "text_lang_id": q_text_lang_id,
+    "text_fingerprint": q_text_fingerprint,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "kg_extract_mentions": q_kg_extract_mentions,
+    "kg_link_alias": q_kg_link_alias,
+    "kg_triples_docs": q_kg_triples_docs,
+    "kg_canonicalize_cc": q_kg_canonicalize_cc,
+    "kg_skew_twophase": q_kg_skew_twophase,
+    "spans_roundtrip": q_spans_roundtrip,
+    "spans_media_stats": q_spans_media_stats,
+}
+
+
+# ---------------------------------------------------------------------------
+# oracle_sql()
+# ---------------------------------------------------------------------------
+
+_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+_CUSTOMER_REC = """
+  SELECT c_custkey,
+         '"c_' || CAST(c_custkey AS VARCHAR) || '"' AS vid,
+         '"' || c_name || '"' AS v_name,
+         CAST(c_nationkey AS VARCHAR) AS v_nk,
+         CASE WHEN CAST(c_acctbal AS VARCHAR) LIKE '%.%'
+              THEN CAST(c_acctbal AS VARCHAR)
+              ELSE CAST(c_acctbal AS VARCHAR) || '.0' END AS v_ab,
+         CASE WHEN COALESCE(c_mktsegment, '') = '' THEN '"GENERAL"'
+              ELSE '"' || c_mktsegment || '"' END AS v_mk,
+         COALESCE(c_mktsegment, '') AS raw_mk
+  FROM customer
+"""
+
+_CUSTOMER_TRIPLES = """
+  SELECT vid AS subj, 'tag:Customer' AS pred, 'NULL' AS obj FROM rec
+  UNION ALL SELECT vid, 'Customer.name', v_name FROM rec
+  UNION ALL SELECT vid, 'Customer.nationkey', v_nk FROM rec
+  UNION ALL SELECT vid, 'Customer.acctbal', v_ab FROM rec
+  UNION ALL SELECT vid, 'Customer.mktsegment', v_mk FROM rec
+"""
+
+_CUSTOMER_FRAGMENT = (
+    "vid || ':(' || v_name || ', ' || v_nk || ', ' || v_ab || ', ' || v_mk || ')'"
+)
+
+_ORDERS_REC = """
+  SELECT o_orderkey,
+         '"c_' || CAST(o_custkey AS VARCHAR) || '"' AS v_src,
+         CAST(o_orderkey AS VARCHAR) AS v_dst,
+         '"' || o_orderstatus || '"' AS v_status,
+         '"' || o_orderpriority || '"' AS v_prio
+  FROM orders
+"""
+
+_SHINGLES = f"""
+  norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+  tok AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+  sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+         FROM tok, unnest(generate_series(1, greatest(len(w)-2, 0))) u(i)),
+  sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id)
+"""
+
+_JACCARD_PAIRS = """
+  inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+  jp AS (SELECT id_a, id_b,
+                CAST(ROUND(i * 1.0 / (sa.n_sh + sb.n_sh - i), 6) AS DECIMAL(10,6)) AS jaccard,
+                i * 1.0 / (sa.n_sh + sb.n_sh - i) AS j_raw
+         FROM inter
+         JOIN sizes sa ON inter.id_a = sa.doc_id
+         JOIN sizes sb ON inter.id_b = sb.doc_id),
+  pairs AS (SELECT id_a, id_b, jaccard FROM jp WHERE j_raw >= 0.3)
+"""
+
+_MH = ",\n".join(
+    f"         MIN(md5('{i}:' || s)) AS mh{i}" for i in range(12)
+)
+_BANDS = "\n  UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, md5(mh{3*b} || '|' || mh{3*b+1} || '|' || mh{3*b+2}) AS digest FROM sig"
+    for b in range(4)
+)
+
+_SIMHASH_BITS = ",\n".join(
+    "         SUM(CAST(FLOOR((strpos('0123456789abcdef', substr(h, {pos}, 1)) - 1) / {den}) AS BIGINT) % 2) AS b{j}".format(
+        pos=j // 4 + 1, den=2 ** (j % 4), j=j
+    )
+    for j in range(16)
+)
+_SIMHASH_FP = " + ".join(
+    f"CASE WHEN b{j} * 2 > n THEN {2**j} ELSE 0 END" for j in range(16)
+)
+
+_COS_PAIR = """
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_sum(list_transform(range(1, len(a.embedding) + 1),
+                  i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+"""
+
+_MENTIONS = f"""
+  norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+  toks AS (SELECT doc_id, unnest(string_split(t, ' ')) AS term FROM norm),
+  mentions AS (SELECT doc_id, term, COUNT(*) AS n FROM toks
+               WHERE term IN ('spark', 'customer', 'table', 'window', 'stream', 'join')
+               GROUP BY doc_id, term)
+"""
+
+_ALIAS_VALUES = ", ".join(f"('{k}', '{v}')" for k, v in sorted(ALIASES.items()))
+
+_LINKED = f"""
+  {_MENTIONS},
+  aliases(term, entity) AS (VALUES {_ALIAS_VALUES}),
+  linked AS (SELECT m.doc_id, a.entity, SUM(m.n) AS n
+             FROM mentions m JOIN aliases a USING (term)
+             GROUP BY m.doc_id, a.entity)
+"""
+
+_DOC_TRIPLES = f"""
+  {_LINKED},
+  triples AS (
+    SELECT DISTINCT subj, pred, obj FROM (
+      SELECT 'doc:' || CAST(doc_id AS VARCHAR) AS subj, 'tag:Document' AS pred, 'NULL' AS obj FROM documents
+      UNION ALL
+      SELECT 'doc:' || CAST(doc_id AS VARCHAR), 'Document.lang', '"' || lang || '"' FROM documents
+      UNION ALL
+      SELECT 'doc:' || CAST(doc_id AS VARCHAR), 'mentions', entity FROM linked
+    )
+  )
+"""
+
+_EVENTS_REC = """
+  SELECT event_id,
+         CAST(event_id AS VARCHAR) AS vid,
+         'DATE("' || CAST(CAST(ts AS DATE) AS VARCHAR) || '")' AS v_day,
+         'DATETIME("' || CAST(date_trunc('second', ts) AS VARCHAR) || '")' AS v_created,
+         'TIMESTAMP(' || CAST(CAST(floor(epoch(ts)) AS BIGINT) AS VARCHAR) || ')' AS v_epoch,
+         'TIMESTAMP("' || CAST(date_trunc('second', ts) AS VARCHAR) || '")' AS v_tstext,
+         CASE WHEN event_type = 'click' THEN '"unknown"' ELSE '"' || event_type || '"' END AS v_etype,
+         CASE WHEN value > 100 THEN 'true' ELSE 'false' END AS v_big,
+         'ST_GeogFromText("POINT(' || CAST(CAST(value AS DECIMAL(12,2)) AS VARCHAR) || ' 0)")' AS v_loc,
+         'TIME("' || substr(CAST(date_trunc('second', ts) AS VARCHAR), 12, 8) || '")' AS v_t
+  FROM events
+"""
+
+ORACLES: dict[str, str] = {
+    "map_vertex_insert": f"WITH rec AS ({_CUSTOMER_REC}) {_CUSTOMER_TRIPLES}",
+    "map_vertex_filter": (
+        f"WITH rec AS (SELECT * FROM ({_CUSTOMER_REC}) r"
+        " WHERE raw_mk IN ('BUILDING', 'AUTOMOBILE'))"
+        f" {_CUSTOMER_TRIPLES}"
+    ),
+    "map_edge_insert": f"""
+      WITH rec AS ({_ORDERS_REC})
+      SELECT v_src AS subj, 'placed' AS pred, v_dst AS obj FROM rec
+      UNION ALL SELECT v_src || '->' || v_dst, 'placed.status', v_status FROM rec
+      UNION ALL SELECT v_src || '->' || v_dst, 'placed.priority', v_prio FROM rec
+    """,
+    "map_edge_rank": """
+      WITH rec AS (
+        SELECT CAST(l_orderkey AS VARCHAR) AS v_src,
+               CAST(l_partkey AS VARCHAR) AS v_dst,
+               CAST(l_linenumber AS VARCHAR) AS v_rank,
+               CASE WHEN CAST(l_quantity AS VARCHAR) LIKE '%.%'
+                    THEN CAST(l_quantity AS VARCHAR)
+                    ELSE CAST(l_quantity AS VARCHAR) || '.0' END AS v_qty,
+               '"' || l_returnflag || '"' AS v_rf
+        FROM lineitem)
+      SELECT v_src AS subj, 'contains@' || v_rank AS pred, v_dst AS obj FROM rec
+      UNION ALL SELECT v_src || '->' || v_dst || '@' || v_rank, 'contains.quantity', v_qty FROM rec
+      UNION ALL SELECT v_src || '->' || v_dst || '@' || v_rank, 'contains.returnflag', v_rf FROM rec
+    """,
+    "map_type_conversions": f"""
+      WITH rec AS ({_EVENTS_REC})
+      SELECT vid AS subj, 'tag:Event' AS pred, 'NULL' AS obj FROM rec
+      UNION ALL SELECT vid, 'Event.day', v_day FROM rec
+      UNION ALL SELECT vid, 'Event.created', v_created FROM rec
+      UNION ALL SELECT vid, 'Event.ts_epoch', v_epoch FROM rec
+      UNION ALL SELECT vid, 'Event.ts_text', v_tstext FROM rec
+      UNION ALL SELECT vid, 'Event.etype', v_etype FROM rec
+      UNION ALL SELECT vid, 'Event.big', v_big FROM rec
+      UNION ALL SELECT vid, 'Event.loc', v_loc FROM rec
+      UNION ALL SELECT vid, 'Event.t', v_t FROM rec
+    """,
+    "map_statements_vertex": f"""
+      WITH rec AS ({_CUSTOMER_REC}),
+      frags AS (SELECT c_custkey, {_CUSTOMER_FRAGMENT} AS frag,
+                       (ROW_NUMBER() OVER (ORDER BY c_custkey) - 1) // 128 AS g
+                FROM rec)
+      SELECT 'INSERT VERTEX IGNORE_EXISTED_INDEX `Customer`(`name`, `nationkey`, `acctbal`, `mktsegment`) VALUES '
+             || STRING_AGG(frag, ', ' ORDER BY c_custkey) AS statement,
+             CAST(COUNT(*) AS INT) AS n_records
+      FROM frags GROUP BY g
+    """,
+    "map_update_vertex": f"""
+      WITH rec AS ({_CUSTOMER_REC})
+      SELECT 'UPDATE VERTEX ON `Customer` ' || vid || ' SET `name` = ' || v_name
+             || ', `nationkey` = ' || v_nk || ', `acctbal` = ' || v_ab
+             || ', `mktsegment` = ' || v_mk || ';' AS statement,
+             CAST(1 AS INT) AS n_records
+      FROM rec
+    """,
+    "map_delete_edge": f"""
+      WITH rec AS ({_ORDERS_REC}),
+      frags AS (SELECT o_orderkey, v_src || '->' || v_dst AS frag,
+                       (ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1) // 128 AS g
+                FROM rec)
+      SELECT 'DELETE EDGE `placed` ' || STRING_AGG(frag, ', ' ORDER BY o_orderkey) AS statement,
+             CAST(COUNT(*) AS INT) AS n_records
+      FROM frags GROUP BY g
+    """,
+    "text_token_count": f"""
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS INT) AS ws_tokens,
+             CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]')) AS INT) AS re_tokens,
+             CAST(length(text) AS INT) AS n_chars
+      FROM documents
+    """,
+    "text_quality": """
+      WITH q AS (
+        SELECT doc_id,
+               len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS n_tok,
+               length(text) AS n_chars,
+               len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                   t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS stops
+        FROM documents),
+      m AS (SELECT doc_id, n_tok,
+                   (n_chars - (n_tok - 1)) * 1.0 / n_tok AS mean_wl,
+                   stops * 1.0 / n_tok AS stop_ratio
+            FROM q)
+      SELECT doc_id, CAST(n_tok AS INT) AS n_tokens,
+             CAST(ROUND(mean_wl, 6) AS DECIMAL(12,6)) AS mean_word_len,
+             CAST(ROUND(stop_ratio, 6) AS DECIMAL(12,6)) AS stopword_ratio,
+             CAST(ROUND(
+               least(n_tok / 100.0, 1.0) * 0.4
+               + (1.0 - stop_ratio) * 0.3
+               + least(mean_wl / 8.0, 1.0) * 0.3, 6) AS DECIMAL(12,6)) AS quality_score
+      FROM m
+    """,
+    "text_lang_id": """
+      WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents),
+      hits AS (SELECT doc_id,
+        len(list_filter(w, t -> t IN ('der', 'die', 'das', 'und', 'nicht'))) AS h_de,
+        len(list_filter(w, t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS h_en,
+        len(list_filter(w, t -> t IN ('el', 'la', 'los', 'de', 'que'))) AS h_es,
+        len(list_filter(w, t -> t IN ('le', 'la', 'les', 'et', 'que'))) AS h_fr,
+        len(list_filter(w, t -> t IN ('de5', 'shi4', 'le5', 'bu4', 'zai4'))) AS h_zh
+      FROM toks)
+      SELECT doc_id,
+             CASE WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr AND h_de >= h_zh THEN 'de'
+                  WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_zh THEN 'en'
+                  WHEN h_es >= h_fr AND h_es >= h_zh THEN 'es'
+                  WHEN h_fr >= h_zh THEN 'fr'
+                  ELSE 'zh' END AS pred_lang,
+             CAST(greatest(h_de, h_en, h_es, h_fr, h_zh) AS INT) AS marker_hits
+      FROM hits
+    """,
+    "text_fingerprint": f"SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents",
+    "dedup_exact": f"""
+      WITH fp AS (SELECT doc_id, md5({_NORM}) AS f FROM documents),
+      canon AS (SELECT f, MIN(doc_id) AS canonical_id FROM fp GROUP BY f)
+      SELECT fp.doc_id, canon.canonical_id FROM fp JOIN canon USING (f)
+    """,
+    "dedup_ngram_jaccard": f"WITH {_SHINGLES}, {_JACCARD_PAIRS} SELECT id_a, id_b, jaccard FROM pairs",
+    "dedup_minhash_lsh": f"""
+      WITH {_SHINGLES}, {_JACCARD_PAIRS},
+      sig AS (SELECT doc_id,
+{_MH}
+              FROM sh GROUP BY doc_id),
+      band AS ({_BANDS}),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM band a JOIN band b ON a.band = b.band AND a.digest = b.digest
+                                       AND a.doc_id < b.doc_id)
+      SELECT c.id_a, c.id_b, p.jaccard
+      FROM cand c JOIN pairs p ON c.id_a = p.id_a AND c.id_b = p.id_b
+    """,
+    "dedup_simhash": f"""
+      WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+      toks AS (SELECT doc_id, md5(unnest(string_split(t, ' '))) AS h FROM norm),
+      bits AS (SELECT doc_id, COUNT(*) AS n,
+{_SIMHASH_BITS}
+               FROM toks GROUP BY doc_id)
+      SELECT doc_id, CAST({_SIMHASH_FP} AS BIGINT) AS simhash FROM bits
+    """,
+    "dedup_embedding_cosine": f"""
+      WITH p AS ({_COS_PAIR} FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+      SELECT id_a, id_b, CAST(ROUND(cos, 4) AS DECIMAL(8,4)) AS cos
+      FROM p WHERE cos >= 0.45
+    """,
+    "ann_cosine_topk": f"""
+      WITH s AS ({_COS_PAIR}
+                 FROM embeddings b, embeddings a
+                 WHERE b.vec_id < 10 AND a.vec_id != b.vec_id),
+      ranked AS (SELECT id_b AS probe_id, id_a AS neighbor_id,
+                        ROW_NUMBER() OVER (PARTITION BY id_b ORDER BY cos DESC, id_a ASC) AS rank
+                 FROM s)
+      SELECT probe_id, neighbor_id, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 5
+    """,
+    "kg_extract_mentions": f"WITH {_MENTIONS} SELECT doc_id, term, n FROM mentions",
+    "kg_link_alias": f"WITH {_LINKED} SELECT doc_id, entity, n FROM linked",
+    "kg_triples_docs": f"WITH {_DOC_TRIPLES} SELECT subj, pred, obj FROM triples",
+    "kg_canonicalize_cc": f"""
+      WITH RECURSIVE {_SHINGLES}, {_JACCARD_PAIRS},
+      edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                UNION ALL SELECT id_b, id_a FROM pairs),
+      reach(id, r) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT reach.id, edges.v FROM reach JOIN edges ON reach.r = edges.u
+      ),
+      comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+      SELECT d.doc_id, COALESCE(comp.component, d.doc_id) AS canonical_id
+      FROM documents d LEFT JOIN comp ON d.doc_id = comp.id
+    """,
+    "kg_skew_twophase": f"WITH {_DOC_TRIPLES} SELECT pred, COUNT(*) AS n FROM triples GROUP BY pred",
+    "spans_roundtrip": f"""
+      WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+      tok AS (SELECT doc_id, t, string_split(t, ' ') AS w FROM norm),
+      chunks AS (SELECT doc_id, t, i,
+                        array_to_string(w[(i*5+1):(i*5+5)], ' ') AS chunk
+                 FROM tok, unnest(generate_series(0, CAST(ceil(len(w) / 5.0) AS INT) - 1)) u(i)),
+      rebuilt AS (SELECT doc_id, t, STRING_AGG(chunk, ' ' ORDER BY i) AS r
+                  FROM chunks GROUP BY doc_id, t)
+      SELECT doc_id, (r = t) AS ok FROM rebuilt
+    """,
+    "spans_media_stats": f"""
+      WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+      tok AS (SELECT doc_id, t, string_split(t, ' ') AS w FROM norm),
+      spans AS (SELECT doc_id, i,
+                       CASE (i + length(t)) % 7
+                            WHEN 3 THEN 'image' WHEN 5 THEN 'audio'
+                            WHEN 6 THEN 'table_row' ELSE 'text' END AS kind
+                FROM tok, unnest(generate_series(0, CAST(ceil(len(w) / 5.0) AS INT) - 1)) u(i))
+      SELECT kind, COUNT(*) AS n_spans,
+             SUM(CASE WHEN kind != 'text' THEN 1 ELSE 0 END) AS n_media
+      FROM spans GROUP BY kind
+    """,
+}

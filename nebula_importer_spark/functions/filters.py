@@ -60,10 +60,16 @@ def _unquote(s: str) -> str:
 
 
 class _Parser:
-    def __init__(self, tokens: List[Tuple[str, str]], record: Column):
+    def __init__(
+        self,
+        tokens: List[Tuple[str, str]],
+        record: Column | None,
+        variables: dict | None = None,
+    ):
         self.tokens = tokens
         self.i = 0
         self.record = record
+        self.variables = variables or {}
 
     def peek(self) -> Tuple[str, str]:
         return self.tokens[self.i] if self.i < len(self.tokens) else ("eof", "")
@@ -154,7 +160,11 @@ class _Parser:
             return _unquote(v)
         if kind == "number":
             return v  # compared as string: the record is []string
+        if kind == "name" and v in self.variables:
+            return self.variables[v]
         if kind == "name" and v == "Record":
+            if self.record is None:
+                raise FilterSyntaxError("Record[] not available in this context")
             self.expect("[")
             ikind, idx = self.next()
             if ikind != "number":
@@ -170,11 +180,16 @@ def _as_column(x: Union[Column, str]) -> Column:
     return x if isinstance(x, Column) else F.lit(x)
 
 
-def compile_filter(expr: str, record: Column) -> Column:
+def compile_filter(
+    expr: str, record: Column | None = None, variables: dict | None = None
+) -> Column:
     """Compile a reference filter expression into a boolean Column.
 
-    ``record`` is the ``array<string>`` column holding the CSV record.
+    ``record`` is the ``array<string>`` column holding the CSV record
+    (``Record[i]`` references); ``variables`` binds bare names to Columns —
+    the prop-level guard env is ``{"val": <rendered value>}``
+    (``pkg/spec/v3/prop.go:47-57``).
     """
     if not expr or not expr.strip():
         raise FilterSyntaxError("empty filter expression")
-    return _Parser(_tokenize(expr), record).parse()
+    return _Parser(_tokenize(expr), record, variables).parse()

@@ -1,0 +1,199 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash-LSH, SimHash.
+
+The reference importer delegates dedup to the server (``IGNORE_EXISTED_INDEX``
+/ ``IF NOT EXISTS`` statement prefixes, ``/root/reference/pkg/spec/v3/
+node.go:98-105``). At corpus scale dedup must happen *in* the engine; these
+operators are the standard document-dedup ladder, all expressed with built-in
+functions so Catalyst/Tungsten own the row path.
+
+Scale notes (100 TB):
+
+* exact dedup — one hash-shuffle on a 32-byte key; combine-side partial
+  aggregation makes it map-dominant.
+* n-gram Jaccard — the exact O(pairs-sharing-a-shingle) path; use only below
+  ~10M docs per blocking key. The scale path is MinHash-LSH below.
+* MinHash-LSH — shuffle cost is O(docs × bands); band buckets bound the
+  candidate join. Signatures use min-over-md5 which is deterministic across
+  engines and re-runs (no seeded RNG state to lose on resume).
+* SimHash — one shuffle (explode tokens → 16 partial bit-sums); fingerprint
+  join/hamming-filter is then cheap.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HEX = "0123456789abcdef"
+
+
+def normalized_text(text: Column) -> Column:
+    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+
+
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, canonical_id): canonical = min id among docs with equal md5.
+
+    One shuffle on the fingerprint; min() aggregates map-side first.
+    """
+    fp = F.md5(normalized_text(F.col(text_col))).alias("fingerprint")
+    with_fp = df.select(F.col(id_col), fp)
+    canon = with_fp.groupBy("fingerprint").agg(F.min(id_col).alias("canonical_id"))
+    return (
+        with_fp.join(canon, "fingerprint")
+        .select(F.col(id_col), F.col("canonical_id"))
+    )
+
+
+def word_shingles(
+    df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct word n-gram shingles per doc → (id, shingle) rows.
+
+    Shingling is a generate-then-explode column program (no UDF): the shingle
+    array is built with ``transform`` over an index ``sequence``.
+    """
+    toks = F.split(normalized_text(F.col(text_col)), " ")
+    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    idx = F.sequence(F.lit(1), count)  # 1-based slice positions; empty if count=0
+    sh = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    return (
+        df.select(F.col(id_col), F.explode(sh).alias("shingle"))
+        .dropDuplicates([id_col, "shingle"])
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.3,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact near-dup pairs with word-n-gram Jaccard ≥ threshold.
+
+    Inverted-index self-join on the shingle (the exact-blocking baseline the
+    LSH variant approximates). Returns (id_a, id_b, jaccard) with id_a < id_b;
+    jaccard is decimal(10,6) for engine-stable comparison.
+    """
+    sh = word_shingles(df, n=n, text_col=text_col, id_col=id_col)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"))
+    j = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .where(j >= F.lit(threshold))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(j, 6).cast("decimal(10,6)").alias("jaccard"),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    k: int = 12,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """k-permutation MinHash signature per doc: mh_i = min(md5(i‖shingle)).
+
+    Using the 32-hex md5 *string* as the hash value keeps the signature
+    byte-identical in any engine (lexicographic min over fixed-width lowercase
+    hex == numeric min). One shuffle: groupBy(doc) with k partial mins.
+    """
+    sh = word_shingles(df, n=n, text_col=text_col, id_col=id_col)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(k)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.3,
+    k: int = 12,
+    bands: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs via MinHash banding + exact Jaccard verification.
+
+    k hashes split into ``bands`` bands of k/bands rows; docs agreeing on any
+    whole band become candidates (join on the band digest — bounded buckets,
+    no O(n²)); candidates are then verified with exact shingle Jaccard so the
+    output has no false positives (recall is the LSH knob).
+    """
+    rows = k // bands
+    sig = minhash_signatures(df, k=k, n=n, text_col=text_col, id_col=id_col)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws("|", *[F.col(f"mh{b * rows + r}") for r in range(rows)])).alias(
+                "digest"
+            ),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.digest").alias("digest"))
+
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "digest")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "digest")
+    cand = (
+        a.join(b, ["band", "digest"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates()
+    )
+
+    exact = ngram_jaccard_pairs(df, threshold=threshold, n=n, text_col=text_col, id_col=id_col)
+    return cand.join(exact, ["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
+
+
+def _nibble_val(h: Column, pos: int) -> Column:
+    """Value 0-15 of hex digit ``pos`` (0-based) of a lowercase hex string."""
+    return F.instr(F.lit(HEX), F.substring(h, pos + 1, 1)) - F.lit(1)
+
+
+def simhash_fingerprints(
+    df: DataFrame, bits: int = 16, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """SimHash fingerprint: bit j set iff Σ_tokens bit_j(md5(token)) > n/2.
+
+    Bits come from the first ``bits/4`` hex digits of each token's md5 —
+    deterministic and engine-portable. One explode + one groupBy(doc) with
+    ``bits`` partial sums (all map-side combinable).
+    """
+    toks = F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias("tok")
+    t = df.select(F.col(id_col), toks).withColumn("h", F.md5(F.col("tok")))
+    bit_cols = []
+    for j in range(bits):
+        nib = _nibble_val(F.col("h"), j // 4)
+        bit = F.floor(nib / F.lit(2 ** (j % 4))) % 2
+        bit_cols.append(F.sum(bit).alias(f"b{j}"))
+    sums = t.groupBy(id_col).agg(F.count("*").alias("n"), *bit_cols)
+    fp = None
+    for j in range(bits):
+        term = F.when(F.col(f"b{j}") * 2 > F.col("n"), F.lit(2**j)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return sums.select(F.col(id_col), fp.cast("long").alias("simhash"))

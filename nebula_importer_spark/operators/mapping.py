@@ -15,7 +15,7 @@ into the source when the record array is built from real columns.
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List, Optional, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -38,7 +38,29 @@ def _prop_values(spec_props, record: Column) -> List[Column]:
     return [build_picker_column(p.picker_config(), record) for p in spec_props]
 
 
-def node_values(df: DataFrame, spec: NodeSpec, record_col: str = RECORD_COL) -> DataFrame:
+def _set_clauses(spec_props) -> List[Column]:
+    """Per-prop ``name = value`` SET clauses for UPDATE/UPSERT.
+
+    A prop with a guard ``expr`` (env ``{"val": rendered}``) yields NULL when
+    the guard is false — ``concat_ws`` drops NULL elements, which is exactly
+    the reference's skip-this-clause semantics (``prop.go:137-148``).
+    """
+    out: List[Column] = []
+    for p in spec_props:
+        clause = F.concat(F.lit(p.converted_name + " = "), F.col(f"p_{p.name}"))
+        if p.expr:
+            guard = compile_filter(p.expr, variables={"val": F.col(f"p_{p.name}")})
+            clause = F.when(guard, clause)
+        out.append(clause)
+    return out
+
+
+def node_values(
+    df: DataFrame,
+    spec: NodeSpec,
+    record_col: str = RECORD_COL,
+    keep: Sequence[str] = (),
+) -> DataFrame:
     """Project a record DataFrame to rendered (vid, props..., fragment).
 
     Output columns:
@@ -58,7 +80,7 @@ def node_values(df: DataFrame, spec: NodeSpec, record_col: str = RECORD_COL) -> 
         v.alias(f"p_{p.name}") for v, p in zip(_prop_values(spec.props, record), spec.props)
     ]
 
-    out = df.select(vid, *props, record)
+    out = df.select(vid, *props, record, *[F.col(c) for c in keep])
     pcols = [F.col(f"p_{p.name}") for p in spec.props]
 
     if spec.mode == Mode.INSERT:
@@ -66,14 +88,11 @@ def node_values(df: DataFrame, spec: NodeSpec, record_col: str = RECORD_COL) -> 
             F.col("vid"), F.lit(":("), F.concat_ws(", ", *pcols) if pcols else F.lit(""), F.lit(")")
         )
     elif spec.mode in (Mode.UPDATE, Mode.UPSERT):
-        sets = [
-            F.concat(F.lit(p.converted_name + " = "), F.col(f"p_{p.name}")) for p in spec.props
-        ]
         fragment = F.concat(
             F.lit(spec.statement_prefix),
             F.col("vid"),
             F.lit(" SET "),
-            F.concat_ws(", ", *sets),
+            F.concat_ws(", ", *_set_clauses(spec.props)),
             F.lit(";"),
         )
     else:  # DELETE: "DELETE TAG name FROM vid;" per record (node.go:263-266)
@@ -82,7 +101,12 @@ def node_values(df: DataFrame, spec: NodeSpec, record_col: str = RECORD_COL) -> 
     return out.withColumn("fragment", fragment)
 
 
-def edge_values(df: DataFrame, spec: EdgeSpec, record_col: str = RECORD_COL) -> DataFrame:
+def edge_values(
+    df: DataFrame,
+    spec: EdgeSpec,
+    record_col: str = RECORD_COL,
+    keep: Sequence[str] = (),
+) -> DataFrame:
     """Project a record DataFrame to rendered (src, dst, rank, props, fragment).
 
     Fragment shapes per mode mirror ``edge.go:250-257`` (INSERT
@@ -102,7 +126,7 @@ def edge_values(df: DataFrame, spec: EdgeSpec, record_col: str = RECORD_COL) -> 
     props = [
         v.alias(f"p_{p.name}") for v, p in zip(_prop_values(spec.props, record), spec.props)
     ]
-    out = df.select(*cols, *props, record)
+    out = df.select(*cols, *props, record, *[F.col(c) for c in keep])
 
     rank_part = (
         F.concat(F.lit("@"), F.col("rank")) if spec.rank is not None else F.lit("")
@@ -115,14 +139,11 @@ def edge_values(df: DataFrame, spec: EdgeSpec, record_col: str = RECORD_COL) -> 
             endpoint, F.lit(":("), F.concat_ws(", ", *pcols) if pcols else F.lit(""), F.lit(")")
         )
     elif spec.mode in (Mode.UPDATE, Mode.UPSERT):
-        sets = [
-            F.concat(F.lit(p.converted_name + " = "), F.col(f"p_{p.name}")) for p in spec.props
-        ]
         fragment = F.concat(
             F.lit(spec.statement_prefix),
             endpoint,
             F.lit(" SET "),
-            F.concat_ws(", ", *sets),
+            F.concat_ws(", ", *_set_clauses(spec.props)),
             F.lit(";"),
         )
     else:  # DELETE: fragments joined with ", " under one prefix (edge.go:321-372)

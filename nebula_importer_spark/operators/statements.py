@@ -50,6 +50,7 @@ def assemble_statements(
     ``values`` must carry a ``fragment`` column (from ``node_values`` /
     ``edge_values``). Returns (statement, n_records) rows.
     """
+    spec.complete()  # idempotent prefix constant-folding (node.go:87-123)
     mode = Mode.convert(spec.mode)
     is_edge = isinstance(spec, EdgeSpec)
     if mode == Mode.INSERT or (mode == Mode.DELETE and is_edge):

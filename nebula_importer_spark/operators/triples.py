@@ -26,7 +26,7 @@ from nebula_importer_spark.plans.specs import EdgeSpec, NodeSpec
 TRIPLE_COLS = ("subj", "pred", "obj")
 
 
-def node_triples(values: DataFrame, spec: NodeSpec) -> DataFrame:
+def node_triples(values: DataFrame, spec: NodeSpec, keep: tuple = ()) -> DataFrame:
     """(vid, "tag:<name>", NULL) + per-prop triples from ``node_values``."""
     entries = [
         F.struct(
@@ -42,12 +42,14 @@ def node_triples(values: DataFrame, spec: NodeSpec) -> DataFrame:
             )
         )
     exploded = values.select(
-        F.col("vid").alias("subj"), F.explode(F.array(*entries)).alias("e")
+        F.col("vid").alias("subj"), F.explode(F.array(*entries)).alias("e"), *keep
     )
-    return exploded.select("subj", F.col("e.pred").alias("pred"), F.col("e.obj").alias("obj"))
+    return exploded.select(
+        "subj", F.col("e.pred").alias("pred"), F.col("e.obj").alias("obj"), *keep
+    )
 
 
-def edge_triples(values: DataFrame, spec: EdgeSpec) -> DataFrame:
+def edge_triples(values: DataFrame, spec: EdgeSpec, keep: tuple = ()) -> DataFrame:
     """(src, "<edge>[@rank]", dst) + per-prop triples from ``edge_values``."""
     has_rank = spec.rank is not None
     rank_suffix = (
@@ -74,7 +76,7 @@ def edge_triples(values: DataFrame, spec: EdgeSpec) -> DataFrame:
             )
         )
     exploded = values.select(
-        F.col("src").alias("src_vid"), F.explode(F.array(*entries)).alias("e")
+        F.col("src").alias("src_vid"), F.explode(F.array(*entries)).alias("e"), *keep
     )
     return exploded.select(
         F.when(F.col("e.is_endpoint"), F.col("src_vid"))
@@ -82,4 +84,5 @@ def edge_triples(values: DataFrame, spec: EdgeSpec) -> DataFrame:
         .alias("subj"),
         F.col("e.pred").alias("pred"),
         F.col("e.obj").alias("obj"),
+        *keep,
     )

@@ -63,6 +63,9 @@ class PropSpec:
     null_value: str = ""  # input sentinel meaning null (prop.go:83-87)
     alternative_indices: Sequence[int] = field(default_factory=list)
     default_value: Optional[str] = None
+    # fork-added per-prop guard over the rendered value (env {"val": ...});
+    # false ⇒ drop this SET clause on UPDATE/UPSERT (prop.go:47-57,137-148)
+    expr: Optional[str] = None
 
     def complete(self) -> None:
         if not self.type:

@@ -1,0 +1,76 @@
+"""Dedup operator tests: exact, n-gram Jaccard, MinHash-LSH, SimHash."""
+
+from __future__ import annotations
+
+import hashlib
+
+from nebula_importer_spark.operators.dedup import (
+    exact_duplicates,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+    word_shingles,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy cat"),   # near-dup of 1
+    (3, "completely different content about spark engines"),
+    (4, "The  quick brown fox jumps over the lazy dog"),  # exact dup of 1 (norm)
+    (5, "unrelated words entirely here nothing shared at all"),
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_duplicates(spark):
+    rows = {r.doc_id: r.canonical_id for r in exact_duplicates(_df(spark)).collect()}
+    assert rows[4] == 1 and rows[1] == 1
+    assert rows[2] == 2 and rows[3] == 3 and rows[5] == 5
+
+
+def test_word_shingles(spark):
+    sh = word_shingles(_df(spark).where("doc_id = 3"), n=3).collect()
+    got = {r.shingle for r in sh}
+    assert "completely different content" in got
+    assert "about spark engines" in got
+    assert len(got) == 4  # 6 words → 4 distinct 3-grams
+
+
+def test_ngram_jaccard_pairs(spark):
+    pairs = {
+        (r.id_a, r.id_b): float(r.jaccard)
+        for r in ngram_jaccard_pairs(_df(spark), threshold=0.3).collect()
+    }
+    assert (1, 4) in pairs and pairs[(1, 4)] == 1.0  # exact after normalization
+    assert (1, 2) in pairs and 0.4 < pairs[(1, 2)] < 0.8
+    assert (2, 4) in pairs
+    assert all(3 not in p and 5 not in p for p in pairs)
+
+
+def test_minhash_signature_matches_python(spark):
+    """mh_i = min over shingles of md5(f'{i}:{shingle}') — engine-portable."""
+    sig = minhash_signatures(_df(spark).where("doc_id = 3"), k=4).collect()[0]
+    words = "completely different content about spark engines".split()
+    shingles = {" ".join(words[i : i + 3]) for i in range(len(words) - 2)}
+    for i in range(4):
+        expect = min(hashlib.md5(f"{i}:{s}".encode()).hexdigest() for s in shingles)
+        assert sig[f"mh{i}"] == expect
+
+
+def test_minhash_lsh_finds_near_dups_no_false_positives(spark):
+    pairs = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(_df(spark), threshold=0.3).collect()}
+    assert (1, 4) in pairs  # identical signatures always share a band
+    exact = {(r.id_a, r.id_b) for r in ngram_jaccard_pairs(_df(spark), threshold=0.3).collect()}
+    assert pairs <= exact  # candidates verified: no false positives
+
+
+def test_simhash_near_dups_close(spark):
+    fp = {r.doc_id: r.simhash for r in simhash_fingerprints(_df(spark)).collect()}
+    assert fp[1] == fp[4]
+    ham = bin(fp[1] ^ fp[2]).count("1")
+    assert ham <= 6  # near-dups land close in hamming space
+    assert 0 <= fp[5] < 2**16

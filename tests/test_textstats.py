@@ -1,0 +1,58 @@
+"""Text-analysis operator tests."""
+
+from __future__ import annotations
+
+import hashlib
+
+from nebula_importer_spark.operators.textstats import (
+    fingerprints,
+    lang_id,
+    quality_scores,
+    token_counts,
+)
+
+DOCS = [
+    (1, "the quick brown fox, jumps!"),
+    (2, "der hund und die katze und das haus"),
+    (3, "el que la de los"),
+    (4, "xyz"),
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_token_counts(spark):
+    rows = {r.doc_id: r for r in token_counts(_df(spark)).collect()}
+    assert rows[1].ws_tokens == 5
+    assert rows[1].re_tokens == 7  # 5 words + ',' + '!'
+    assert rows[1].n_chars == len(DOCS[0][1])
+    assert rows[4].ws_tokens == 1
+
+
+def test_quality_scores_arithmetic(spark):
+    rows = {r.doc_id: r for r in quality_scores(_df(spark)).collect()}
+    r = rows[2]  # 8 tokens, the stopword list has none of them... 'und' not in it
+    assert r.n_tokens == 8
+    # mean word len = (n_chars - 7) / 8
+    n_chars = len(DOCS[1][1])
+    assert float(r.mean_word_len) == round((n_chars - 7) / 8, 6)
+    assert 0 <= float(r.quality_score) <= 1
+
+
+def test_lang_id_markers_and_tiebreak(spark):
+    rows = {r.doc_id: r for r in lang_id(_df(spark)).collect()}
+    assert rows[1].pred_lang == "en" and rows[1].marker_hits == 1
+    assert rows[2].pred_lang == "de" and rows[2].marker_hits == 5
+    assert rows[3].pred_lang == "es"  # es markers beat fr on 'el'/'los'
+    assert rows[4].pred_lang == "de" and rows[4].marker_hits == 0  # all-zero tie → first lang
+
+
+def test_fingerprint_is_md5_of_normalized(spark):
+    df = spark.createDataFrame(
+        [(1, "  Hello   World "), (2, "hello world")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r.fingerprint for r in fingerprints(df).collect()}
+    want = hashlib.md5(b"hello world").hexdigest()
+    assert rows[1] == want and rows[2] == want

@@ -1,0 +1,77 @@
+"""Scaling-efficiency evidence: the same job at N and 4N parallelism.
+
+BASELINE.json's rule requires throughput scaling efficiency ≥ 0.8 from N to
+4N executors; in this sandbox (single machine, local mode) the evidence is
+the same input processed at ``local[8]`` and ``local[32]``. Each run is a
+separate process (a JVM cannot change master); results are written to
+``BENCH/BASELINE.md`` alongside the per-query numbers.
+
+Usage: python tools/bench_scaling.py [n_low] [n_high]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+from datetime import datetime, timezone
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_bench(cpus: int, sf_dir: str) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=sf_dir)
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env, capture_output=True, text=True, check=True,
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    n_low = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    n_high = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    low = run_bench(n_low, sf_dir)
+    high = run_bench(n_high, sf_dir)
+
+    tl = low["pipeline"]["triples_per_sec"]
+    th = high["pipeline"]["triples_per_sec"]
+    eff = (th / tl) / (n_high / n_low)
+
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    stamp = datetime.now(timezone.utc).isoformat(timespec="seconds")
+    with open(path, "w") as f:
+        f.write(f"""# BENCH — measured baselines ({stamp})
+
+Same job (KG pipeline: extract → link → canonicalize → materialize over a
+seeded synthetic interleaved corpus, {low['pipeline']['n_docs']} docs,
+{low['pipeline']['n_triples']} triples) on identical input at two
+parallelism levels — the sandbox evidence for BASELINE.json's N→4N
+scaling-efficiency rule.
+
+| parallelism | pipeline wall (s) | triples/sec | headline total (s) |
+|---|---|---|---|
+| local[{n_low}] | {low['pipeline']['wall_sec']} | {tl} | {low['value']} |
+| local[{n_high}] | {high['pipeline']['wall_sec']} | {th} | {high['value']} |
+
+**Scaling efficiency (throughput ratio / core ratio): {eff:.3f}**
+(target ≥ 0.8 per BASELINE.json)
+
+Per-query seconds at local[{n_high}]:
+
+| query | sec |
+|---|---|
+""")
+        for k, v in high["queries"].items():
+            f.write(f"| {k} | {v} |\n")
+        f.write(f"\nRaw JSON:\n\n    {json.dumps(low)}\n    {json.dumps(high)}\n")
+    print(json.dumps({"eff": round(eff, 3), "low": tl, "high": th}))
+
+
+if __name__ == "__main__":
+    main()
