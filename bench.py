@@ -67,23 +67,40 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = QUERIES[name]
-        t0 = time.time()
-        _force(fn(spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
+    if os.environ.get("SPARK_GRAFT_HEADLINE", "1") != "0":
+        for name in HEADLINE:
+            fn = QUERIES[name]
+            t0 = time.time()
+            _force(fn(spark, sf_dir))
+            timings[name] = round(time.time() - t0, 3)
 
-    # flagship pipeline throughput on a corpus sized to the scale factor
-    n_docs = max(500, int(sf * 50_000))
-    corpus = synthetic_corpus(
-        spark, n_docs=n_docs, seed=42, fixture_rows=PERSON_CSV_LINES,
-        partitions=max(cpus, 8),
+    # flagship pipeline throughput on a corpus sized to the scale factor;
+    # SPARK_GRAFT_PIPE_DOCS overrides (the scaling harness uses a larger
+    # corpus so per-doc compute, not job scheduling, dominates wall time)
+    n_docs = int(
+        os.environ.get("SPARK_GRAFT_PIPE_DOCS", max(500, int(sf * 50_000)))
     )
-    t0 = time.time()
-    result = run_pipeline(spark, corpus, fixture_node_specs=[person_spec()])
-    n_triples = result.triples.count()
-    wall = time.time() - t0
-    timings["kg_pipeline"] = round(wall, 3)
+    # materialize the corpus first: the pipeline's contract input is a table
+    # (input_hint: Iceberg), not an inline generator expression — timing the
+    # run from parquet keeps the generator's huge codegen out of every
+    # downstream stage plan and out of the measurement
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="bench_corpus_")
+    try:
+        synthetic_corpus(
+            spark, n_docs=n_docs, seed=42, fixture_rows=PERSON_CSV_LINES,
+            partitions=max(cpus, 8),
+        ).write.mode("overwrite").parquet(f"{tmp}/corpus")
+        corpus = spark.read.parquet(f"{tmp}/corpus")
+        t0 = time.time()
+        result = run_pipeline(spark, corpus, fixture_node_specs=[person_spec()])
+        n_triples = result.triples.count()
+        wall = time.time() - t0
+        timings["kg_pipeline"] = round(wall, 3)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
     out = {
         "metric": "headline_total_sec",

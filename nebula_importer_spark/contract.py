@@ -259,6 +259,68 @@ def q_map_delete_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assemble_statements(ordered, spec, batch=128)
 
 
+def q_map_hash_vid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hash() VID function (P7): renders hash("…") textual form.
+
+    NebulaGraph's hash() is server-side; golden parity keeps the textual
+    wrapper exactly as the reference does (pkg/spec/v3/nodeid.go:10-12,
+    config_test.go:445-449).
+    """
+    spec = NodeSpec(
+        name="Part",
+        id=NodeIDSpec(type="STRING", index=1, function="hash"),
+        props=[PropSpec("brand", "STRING", 2)],
+    )
+    df = _t(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand")
+    return node_triples(node_values(records_from_columns(df), spec), spec)
+
+
+def q_map_alternative_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NullablePickers (P4): first index whose value ≠ nullValue.
+
+    Primary column is nulled for one region via nullif; the alternative
+    index supplies the fallback; both null → defaultValue.
+    """
+    spec = NodeSpec(
+        name="Nation",
+        id=NodeIDSpec(type="INT", index=0),
+        props=[
+            PropSpec(
+                "label", "STRING", 1,
+                nullable=True, null_value="", alternative_indices=[2],
+                default_value="UNKNOWN",
+            ),
+        ],
+    )
+    n = _t(spark, sf_dir, "nation")
+    pre = n.select(
+        "n_nationkey",
+        F.when(F.col("n_regionkey") == 0, F.lit("")).otherwise(F.col("n_name")).alias("a"),
+        F.when(F.col("n_regionkey") == 1, F.lit("")).otherwise(F.concat(F.lit("alt_"), F.col("n_name"))).alias("b"),
+    )
+    return node_triples(node_values(records_from_columns(pre), spec), spec)
+
+
+def q_map_upsert_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPSERT EDGE statements with the fork's per-prop expr guard (P9):
+    props whose rendered value is NULL drop their SET clause."""
+    spec = EdgeSpec(
+        name="placed",
+        src=NodeIDSpec(type="STRING", concat_items=["c_", 1]),
+        dst=NodeIDSpec(type="INT", index=0),
+        props=[
+            PropSpec("status", "STRING", 2),
+            PropSpec(
+                "priority", "STRING", 5,
+                nullable=True, null_value="1-URGENT", expr='val != "NULL"',
+            ),
+        ],
+        mode="UPSERT",
+    )
+    vals = edge_values(_orders_records(spark, sf_dir), spec)
+    return assemble_statements(vals, spec, batch=1)
+
+
 def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_counts(_t(spark, sf_dir, "documents"))
 
@@ -361,6 +423,24 @@ def q_spans_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: media spans → binary payloads → (fake) decode →
+    per-kind feature stats. Rows-only check (the deterministic stand-in
+    decoder is Python-side; see pipeline/multimodal.py)."""
+    from nebula_importer_spark.pipeline.multimodal import decode_media, media_table
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = interleave_documents(
+        docs.select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+    )
+    feats = decode_media(media_table(explode_spans(corpus)), fake=True)
+    return feats.groupBy("kind").agg(
+        F.count("*").alias("n_media"),
+        F.min(F.size("features")).alias("dim_min"),
+        F.max(F.size("features")).alias("dim_max"),
+    )
+
+
 def q_spans_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     corpus = interleave_documents(docs.select(F.col("doc_id").cast("string").alias("doc_id"), "text"))
@@ -380,6 +460,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "map_statements_vertex": q_map_statements_vertex,
     "map_update_vertex": q_map_update_vertex,
     "map_delete_edge": q_map_delete_edge,
+    "map_hash_vid": q_map_hash_vid,
+    "map_alternative_indices": q_map_alternative_indices,
+    "map_upsert_edge": q_map_upsert_edge,
     "text_token_count": q_text_token_count,
     "text_quality": q_text_quality,
     "text_lang_id": q_text_lang_id,
@@ -398,6 +481,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_skew_twophase": q_kg_skew_twophase,
     "spans_roundtrip": q_spans_roundtrip,
     "spans_media_stats": q_spans_media_stats,
+    "multimodal_features": q_multimodal_features,
 }
 
 
@@ -599,6 +683,38 @@ ORACLES: dict[str, str] = {
       SELECT 'DELETE EDGE `placed` ' || STRING_AGG(frag, ', ' ORDER BY o_orderkey) AS statement,
              CAST(COUNT(*) AS INT) AS n_records
       FROM frags GROUP BY g
+    """,
+    "map_hash_vid": """
+      WITH rec AS (
+        SELECT 'hash("' || p_name || '")' AS vid, '"' || p_brand || '"' AS v_brand
+        FROM part)
+      SELECT vid AS subj, 'tag:Part' AS pred, 'NULL' AS obj FROM rec
+      UNION ALL SELECT vid, 'Part.brand', v_brand FROM rec
+    """,
+    "map_alternative_indices": """
+      WITH rec AS (
+        SELECT CAST(n_nationkey AS VARCHAR) AS vid,
+               CASE WHEN n_regionkey = 0 THEN '' ELSE n_name END AS a,
+               CASE WHEN n_regionkey = 1 THEN '' ELSE 'alt_' || n_name END AS b
+        FROM nation),
+      v AS (SELECT vid,
+                   CASE WHEN a != '' THEN '"' || a || '"'
+                        WHEN b != '' THEN '"' || b || '"'
+                        ELSE '"UNKNOWN"' END AS v_label
+            FROM rec)
+      SELECT vid AS subj, 'tag:Nation' AS pred, 'NULL' AS obj FROM v
+      UNION ALL SELECT vid, 'Nation.label', v_label FROM v
+    """,
+    "map_upsert_edge": f"""
+      WITH rec AS ({_ORDERS_REC}),
+      raw AS (SELECT o_orderkey, o_orderpriority FROM orders)
+      SELECT 'UPSERT EDGE ON `placed` ' || r.v_src || '->' || r.v_dst
+             || ' SET `status` = ' || r.v_status
+             || CASE WHEN raw.o_orderpriority = '1-URGENT' THEN ''
+                     ELSE ', `priority` = ' || r.v_prio END
+             || ';' AS statement,
+             CAST(1 AS INT) AS n_records
+      FROM rec r JOIN raw ON r.o_orderkey = raw.o_orderkey
     """,
     "text_token_count": f"""
       SELECT doc_id,

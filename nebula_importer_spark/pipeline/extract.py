@@ -49,49 +49,65 @@ def extract_mentions(
     (doc_id, offset, term, n, channel) — one row per distinct term per span,
     with occurrence count ``n``.
     """
+    import re as _re
+
     gaz = sorted(set(gazetteer))
-    gaz_set = frozenset(gaz)
+    gaz_res = [(t, _re.compile(rf"\b{_re.escape(t)}\b")) for t in gaz]
 
     def detect(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out_doc, out_off, out_term, out_n, out_ch = [], [], [], [], []
-            texts = pdf["text"].fillna("")
-            # gazetteer channel: vectorized tokenization + counting
-            token_lists = texts.str.lower().str.split()
-            for doc, off, toks in zip(pdf["doc_id"], pdf["offset"], token_lists):
-                if not toks:
-                    continue
-                counts: dict[str, int] = {}
-                for t in toks:
-                    if t in gaz_set:
-                        counts[t] = counts.get(t, 0) + 1
-                for term, n in counts.items():
-                    out_doc.append(doc)
-                    out_off.append(off)
-                    out_term.append(term)
-                    out_n.append(n)
-                    out_ch.append("gazetteer")
+            frames: list[pd.DataFrame] = []
+            texts = pdf["text"].fillna("").str.lower()
+            # gazetteer channel: one vectorized (C-level) regex count per
+            # term over the whole Series — no per-row Python
+            for term, rx in gaz_res:
+                n = texts.str.count(rx)
+                mask = n > 0
+                if mask.any():
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "doc_id": pdf.loc[mask, "doc_id"],
+                                "offset": pdf.loc[mask, "offset"].astype("int32"),
+                                "term": term,
+                                "n": n[mask].astype("int32"),
+                                "channel": "gazetteer",
+                            }
+                        )
+                    )
             if pattern:
                 found = texts.str.findall(pattern)
-                for doc, off, hits in zip(pdf["doc_id"], pdf["offset"], found):
-                    counts = {}
-                    for h in hits:
-                        counts[h] = counts.get(h, 0) + 1
-                    for term, n in counts.items():
-                        out_doc.append(doc)
-                        out_off.append(off)
-                        out_term.append(term)
-                        out_n.append(n)
-                        out_ch.append("pattern")
-            yield pd.DataFrame(
-                {
-                    "doc_id": pd.Series(out_doc, dtype="object"),
-                    "offset": pd.Series(out_off, dtype="int32"),
-                    "term": pd.Series(out_term, dtype="object"),
-                    "n": pd.Series(out_n, dtype="int32"),
-                    "channel": pd.Series(out_ch, dtype="object"),
-                }
-            )
+                exploded = found.explode().dropna()
+                if len(exploded):
+                    g = (
+                        pd.DataFrame(
+                            {
+                                "doc_id": pdf.loc[exploded.index, "doc_id"],
+                                "offset": pdf.loc[exploded.index, "offset"].astype("int32"),
+                                "term": exploded,
+                            }
+                        )
+                        .groupby(["doc_id", "offset", "term"], as_index=False)
+                        .size()
+                        .rename(columns={"size": "n"})
+                    )
+                    g["n"] = g["n"].astype("int32")
+                    g["channel"] = "pattern"
+                    frames.append(g)
+            if frames:
+                yield pd.concat(frames, ignore_index=True)[
+                    ["doc_id", "offset", "term", "n", "channel"]
+                ]
+            else:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.Series([], dtype="object"),
+                        "offset": pd.Series([], dtype="int32"),
+                        "term": pd.Series([], dtype="object"),
+                        "n": pd.Series([], dtype="int32"),
+                        "channel": pd.Series([], dtype="object"),
+                    }
+                )
 
     text_spans = spans.where(F.col("kind").isin("text", "table_row")).select(
         "doc_id", "offset", "text"

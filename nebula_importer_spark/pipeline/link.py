@@ -53,12 +53,15 @@ def link_mentions(
     aliases: DataFrame,
     threshold: float = 0.5,
     term_col: str = "term",
+    skip_fuzzy: bool = False,
 ) -> DataFrame:
     """Resolve mention terms to entities.
 
     ``aliases`` is (term, entity). Returns the mention rows plus
     (entity, link_channel, link_score). Unmatched mentions are dropped
-    (precision-first, per the P/R≥0.95 gate).
+    (precision-first, per the P/R≥0.95 gate). Pass ``skip_fuzzy=True`` when
+    the caller knows the dictionary covers every possible mention term
+    (e.g. gazetteer ⊆ alias keys) — saves the probe job and the fuzzy plan.
     """
     exact = mentions.join(F.broadcast(aliases), term_col).withColumns(
         {
@@ -66,10 +69,16 @@ def link_mentions(
             "link_score": F.lit(1.0),
         }
     )
+    if skip_fuzzy:
+        return exact
 
     unresolved = mentions.join(
         F.broadcast(aliases.select(term_col)), term_col, "left_anti"
     )
+    # short-circuit: high-coverage dictionaries usually resolve everything;
+    # skip the fuzzy channel's ~6 shuffle stages when nothing is unresolved
+    if unresolved.limit(1).count() == 0:
+        return exact
     # fuzzy: LSH blocking between unresolved terms and alias surface forms
     m_sh = unresolved.select(term_col).dropDuplicates().withColumn(
         "m_sh", _char_shingles(F.col(term_col))

@@ -99,6 +99,8 @@ def run_pipeline(
     output_path: Optional[str] = None,
     n_buckets: int = 32,
     bucket_filter: Optional[Sequence[int]] = None,
+    before_hooks: Sequence[str] = (),
+    after_hooks: Sequence[str] = (),
 ) -> PipelineResult:
     """Run the KG-construction pipeline over an interleaved corpus.
 
@@ -108,17 +110,30 @@ def run_pipeline(
     """
     t0 = time.time()
     timings: dict[str, float] = {}
+    # before-hooks: driver-side DDL before the run, the analog of the
+    # reference's manager exec hooks (pkg/manager/hooks.go:10-22)
+    for stmt in before_hooks:
+        spark.sql(stmt)
     alias_map = DEFAULT_ALIASES if aliases is None else aliases
     alias_df = spark.createDataFrame(
         sorted(alias_map.items()), "term string, entity string"
     )
 
+    # input-split guard: a small/compressed corpus table can arrive as a
+    # handful of scan splits (maxPartitionBytes), which would serialize the
+    # whole per-doc chain no matter how many cores exist. Re-spread to the
+    # session's shuffle width when the scan is coarser than half of it —
+    # on a well-partitioned production table this is a no-op.
+    target = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    if corpus.rdd.getNumPartitions() < max(2, target // 2):
+        corpus = corpus.repartition(target, F.col("doc_id"))
     corpus = with_bucket(corpus, n_buckets).persist()
 
     # global stage: near-dup pairs + connected components over ALL docs
     flat = reassemble(corpus.select("doc_id", "spans"))
     pairs = minhash_lsh_pairs(
-        flat, threshold=dedup_threshold, text_col="text", id_col="doc_id"
+        flat, threshold=dedup_threshold, text_col="text", id_col="doc_id",
+        portable=False,  # internal only → xxhash64 fast path
     )
     canon = canonical_mapping(corpus.select("doc_id"), pairs).persist()
     timings["canonicalize"] = time.time() - t0
@@ -135,7 +150,11 @@ def run_pipeline(
     spans = explode_spans(pending.select("doc_id", "spans")).persist()
 
     mentions = doc_mentions(extract_mentions(spans, gazetteer))
-    linked = link_mentions(mentions, alias_df)
+    # gazetteer ⊆ alias keys ⇒ every mention resolves exactly; decide
+    # driver-side so no probe job runs. persist: linked feeds both the
+    # entity-tag and mention-edge branches (one extract pass, not two).
+    covered = set(gazetteer) <= set(alias_map)
+    linked = link_mentions(mentions, alias_df, skip_fuzzy=covered).persist()
     timings["extract_link"] = time.time() - t0
 
     pending_canon = canon.join(pending.select("doc_id"), "doc_id")
@@ -202,6 +221,9 @@ def run_pipeline(
             lineage_rows = checkpoint.record(
                 bucketed, run_id=uuid.uuid4().hex, wall_sec=wall, doc_col="src_doc"
             )
+
+    for stmt in after_hooks:
+        spark.sql(stmt)
 
     timings["total"] = time.time() - t0
     return PipelineResult(

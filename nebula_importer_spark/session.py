@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import SparkSession
 
@@ -20,9 +21,10 @@ def get_spark(
     re-optimization, Arrow for the pandas-UDF stages).
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    resolved_master = master or f"local[{cpus}]"
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(master or f"local[{cpus}]")
+        .master(resolved_master)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -33,4 +35,16 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    # local[N] benchmarking fairness: the JVM sizes GC threads from the
+    # HOST's core count, so a local[2] run would silently use 32-way GC —
+    # inflating small-N throughput and understating scaling efficiency.
+    # Pin GC parallelism to the requested core count (what a real N-core
+    # executor would have). No effect when master is local[*] or a cluster.
+    m = re.fullmatch(r"local\[(\d+)\]", resolved_master)
+    if m:
+        n = int(m.group(1))
+        builder = builder.config(
+            "spark.driver.extraJavaOptions",
+            f"-XX:ParallelGCThreads={max(2, n)} -XX:ConcGCThreads={max(1, n // 4)}",
+        )
     return builder.getOrCreate()

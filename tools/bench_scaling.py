@@ -21,7 +21,15 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def run_bench(cpus: int, sf_dir: str) -> dict:
-    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=sf_dir)
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS=str(cpus),
+        SPARK_GRAFT_SF_DIR=sf_dir,
+        # scaling runs measure the pipeline only, on a corpus big enough
+        # that per-doc compute (not job scheduling) dominates
+        SPARK_GRAFT_HEADLINE="0",
+        SPARK_GRAFT_PIPE_DOCS=os.environ.get("SPARK_GRAFT_PIPE_DOCS", "20000"),
+    )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env, capture_output=True, text=True, check=True,
@@ -54,10 +62,10 @@ seeded synthetic interleaved corpus, {low['pipeline']['n_docs']} docs,
 parallelism levels — the sandbox evidence for BASELINE.json's N→4N
 scaling-efficiency rule.
 
-| parallelism | pipeline wall (s) | triples/sec | headline total (s) |
-|---|---|---|---|
-| local[{n_low}] | {low['pipeline']['wall_sec']} | {tl} | {low['value']} |
-| local[{n_high}] | {high['pipeline']['wall_sec']} | {th} | {high['value']} |
+| parallelism | pipeline wall (s) | triples/sec |
+|---|---|---|
+| local[{n_low}] | {low['pipeline']['wall_sec']} | {tl} |
+| local[{n_high}] | {high['pipeline']['wall_sec']} | {th} |
 
 **Scaling efficiency (throughput ratio / core ratio): {eff:.3f}**
 (target ≥ 0.8 per BASELINE.json)
