@@ -35,12 +35,18 @@ def read_records_csv(
     comment: str = "",
     with_header: bool = False,
     lazy_quotes: bool = False,
+    multi_line: bool = False,
     n_columns: Optional[int] = None,
 ) -> DataFrame:
     """Read CSV into a DataFrame with one ``record: array<string>`` column.
 
     Malformed rows are dropped (mode=DROPMALFORMED), mirroring the
     reference's skip-and-continue on CSV parse errors (batch.go:119-123).
+    ``escape`` is pinned to ``"`` (RFC4180 double-quote doubling) because
+    Go's encoding/csv has no backslash escape — Spark's default ``\\``
+    escape would mis-parse fields like ``"No11\\"``. ``multi_line=True``
+    enables quoted fields containing newlines (encoding/csv handles these
+    natively; Spark needs the whole-file parse mode).
     """
     reader = (
         spark.read.option("sep", delimiter)
@@ -48,6 +54,10 @@ def read_records_csv(
         .option("inferSchema", False)
         .option("mode", "DROPMALFORMED")
         .option("emptyValue", "")
+        .option("escape", '"')
+        .option("multiLine", multi_line)
+        .option("ignoreLeadingWhiteSpace", False)
+        .option("ignoreTrailingWhiteSpace", False)
     )
     if comment:
         reader = reader.option("comment", comment)
@@ -68,5 +78,11 @@ def records_from_columns(df: DataFrame, cols: Optional[Sequence[str]] = None) ->
     CSV cell. Null cells become '' (encoding/csv yields '' for empty).
     """
     names = list(cols) if cols is not None else df.columns
-    arr = F.array(*[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in names])
+    # backtick-escape so header-derived names containing dots (e.g. a
+    # numeric-looking "92.5" from a headerless file read with header=True)
+    # resolve as exact names, not struct-field paths
+    def ref(c: str):
+        return F.col("`" + c.replace("`", "``") + "`")
+
+    arr = F.array(*[F.coalesce(ref(c).cast("string"), F.lit("")) for c in names])
     return df.withColumn(RECORD_COL, arr)
