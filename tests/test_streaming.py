@@ -82,3 +82,40 @@ def test_windowed_counts_with_watermark(spark, tmp_path):
     }
     # the first window (00:00) closed once the watermark passed: 2 clicks
     assert rows.get(("2024-01-01 00:00:00", "click")) == 2
+
+
+def test_sessionize_stateful(spark, tmp_path):
+    """applyInPandasWithState sessionization: sessions close after the gap."""
+    from nebula_importer_spark.streaming.stateful import sessionize
+    from pyspark.sql import types as T
+
+    src = tmp_path / "sess"
+    src.mkdir()
+    (src / "a.csv").write_text(
+        "u1,2024-01-01 00:00:00\n"
+        "u1,2024-01-01 00:01:00\n"
+        "u2,2024-01-01 00:00:30\n"
+        # a much later event advances the watermark so u1/u2 sessions time out
+        "u3,2024-01-01 02:00:00\n"
+    )
+    schema = T.StructType(
+        [T.StructField("key", T.StringType()), T.StructField("ts", T.TimestampType())]
+    )
+    stream = spark.readStream.schema(schema).csv(str(src)).withWatermark("ts", "1 second")
+    sessions = sessionize(stream, gap_seconds=300)
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = (
+        sessions.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r.key: r for r in spark.read.parquet(out).collect()}
+    assert rows["u1"].n_events == 2
+    assert str(rows["u1"].session_start).startswith("2024-01-01 00:00:00")
+    assert str(rows["u1"].session_end).startswith("2024-01-01 00:01:00")
+    assert rows["u2"].n_events == 1
