@@ -732,16 +732,21 @@ ORACLES: dict[str, str] = {
                    t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS stops
         FROM documents),
       m AS (SELECT doc_id, n_tok,
-                   (n_chars - (n_tok - 1)) * 1.0 / n_tok AS mean_wl,
-                   stops * 1.0 / n_tok AS stop_ratio
+                   -- CAST AS DOUBLE everywhere: DuckDB parses 100.0 as
+                   -- DECIMAL (exact math) while Spark computes in DOUBLE;
+                   -- mixed precision flips round() at tie boundaries
+                   CAST(n_chars - (n_tok - 1) AS DOUBLE) / n_tok AS mean_wl,
+                   CAST(stops AS DOUBLE) / n_tok AS stop_ratio
             FROM q)
       SELECT doc_id, CAST(n_tok AS INT) AS n_tokens,
-             CAST(ROUND(mean_wl, 6) AS DECIMAL(12,6)) AS mean_word_len,
-             CAST(ROUND(stop_ratio, 6) AS DECIMAL(12,6)) AS stopword_ratio,
-             CAST(ROUND(
-               least(n_tok / 100.0, 1.0) * 0.4
-               + (1.0 - stop_ratio) * 0.3
-               + least(mean_wl / 8.0, 1.0) * 0.3, 6) AS DECIMAL(12,6)) AS quality_score
+             -- floor(x*1e6 + 0.5): binary-double rounding, engine-identical
+             CAST(FLOOR(mean_wl * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(12,6)) AS mean_word_len,
+             CAST(FLOOR(stop_ratio * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(12,6)) AS stopword_ratio,
+             CAST(FLOOR((
+               least(n_tok / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
+               + (CAST(1.0 AS DOUBLE) - stop_ratio) * CAST(0.3 AS DOUBLE)
+               + least(mean_wl / CAST(8.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.3 AS DOUBLE)
+             ) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(12,6)) AS quality_score
       FROM m
     """,
     "text_lang_id": """

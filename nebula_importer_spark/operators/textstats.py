@@ -74,12 +74,22 @@ def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
         + (F.lit(1.0) - stop_ratio) * F.lit(0.3)
         + F.least(mean_wl / F.lit(8.0), F.lit(1.0)) * F.lit(0.3)
     )
+
+    def q6(c):
+        # floor(x·1e6 + 0.5): rounds on the BINARY double, so any engine
+        # computing the same double gets the same digits — unlike round(),
+        # where Spark rounds the decimal repr and DuckDB the raw binary,
+        # which disagree on exact ties like 0.5186875
+        return (F.floor(c * F.lit(1_000_000.0) + F.lit(0.5)) / F.lit(1_000_000.0)).cast(
+            "decimal(12,6)"
+        )
+
     return df.select(
         F.col(id_col),
         n_tok.alias("n_tokens"),
-        F.round(mean_wl, 6).cast("decimal(12,6)").alias("mean_word_len"),
-        F.round(stop_ratio, 6).cast("decimal(12,6)").alias("stopword_ratio"),
-        F.round(score, 6).cast("decimal(12,6)").alias("quality_score"),
+        q6(mean_wl).alias("mean_word_len"),
+        q6(stop_ratio).alias("stopword_ratio"),
+        q6(score).alias("quality_score"),
     )
 
 
