@@ -91,6 +91,100 @@ def connected_components(
     return labels
 
 
+def _neighborhood_min(edges: DataFrame) -> DataFrame:
+    """(u, m): m = min of Γ(u) ∪ {u} over a directed edge list."""
+    return (
+        edges.groupBy("u")
+        .agg(F.min("v").alias("mv"))
+        .select("u", F.least(F.col("mv"), F.col("u")).alias("m"))
+    )
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iterations: int = 30,
+) -> DataFrame:
+    """Alternating large-star / small-star connected components.
+
+    The O(log² n)-round algorithm of Kiveris et al. (SoCC'14) — each round
+    is two shuffles and the intermediate edge count is bounded, which is
+    what survives 10^12-node graphs where plain label propagation needs
+    O(diameter) rounds. Expressed purely as groupBy/join (no neighbor-list
+    collection, so hot nodes never materialize their adjacency in one task).
+
+    Rules per round (Γ(u) = neighbors of u, m(u) = min(Γ(u) ∪ {u})):
+
+    * large-star: for every neighbor v > u, emit (v, m(u));
+    * small-star: for every neighbor v ≤ u (v ≠ m), emit (v, m(u)),
+      plus (u, m(u)).
+
+    Returns (id, component) with component = the component's minimum id.
+    """
+    # undirected → directed both ways, deduped
+    edges = (
+        pairs.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .union(pairs.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .dropDuplicates()
+        .persist()
+    )
+
+    for i in range(max_iterations):
+        # large-star
+        mins = _neighborhood_min(edges)
+        large = (
+            edges.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .dropDuplicates()
+        )
+        # small-star over the large-star output:
+        # emit (v, m) for every neighbor v ≤ u, AND (u, m) itself — without
+        # the (u, m) edge a 2-node star dissolves and connectivity is lost
+        mins2 = _neighborhood_min(large)
+        small_nbrs = (
+            large.join(mins2, "u")
+            .where(F.col("v") <= F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        small_self = mins2.select(F.col("u"), F.col("m").alias("v"))
+        small = (
+            small_nbrs.union(small_self)
+            .where(F.col("u") != F.col("v"))
+            .dropDuplicates()
+        )
+        new_edges = small.union(
+            small.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).dropDuplicates()
+        if (i + 1) % 3 == 0:
+            new_edges = new_edges.localCheckpoint(eager=True)
+        else:
+            new_edges = new_edges.persist()
+        converged = (
+            new_edges.exceptAll(edges).limit(1).count() == 0
+            and edges.exceptAll(new_edges).limit(1).count() == 0
+        )
+        edges.unpersist()
+        edges = new_edges
+        if converged:
+            break
+
+    # fixpoint is a star per component (plus mirror edges): every node's
+    # minimum neighbor is the center; centers map to themselves
+    labels = _neighborhood_min(edges).select(
+        F.col("u").alias("id"), F.col("m").alias("component")
+    )
+    centers = labels.select(F.col("component").alias("id")).dropDuplicates().withColumn(
+        "component", F.col("id")
+    )
+    return labels.unionByName(centers).groupBy("id").agg(
+        F.min("component").alias("component")
+    )
+
+
 def canonical_mapping(
     ids: DataFrame,
     pairs: DataFrame,

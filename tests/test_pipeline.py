@@ -148,3 +148,38 @@ def test_run_pipeline_end_to_end_with_fixture_replay(spark):
     assert rows[('"933"', "Person.birthday")] == 'DATE("1989-12-03")'
     stats = {r.pred: r.n_triples for r in result.stats.collect()}
     assert stats["tag:Document"] == 40
+
+
+def test_star_cc_matches_min_label_on_random_graphs(spark):
+    """large-star/small-star CC ≡ min-label CC on seeded random graphs."""
+    import random
+
+    from nebula_importer_spark.pipeline.canonicalize import connected_components_star
+
+    for seed in (1, 2, 3):
+        rnd = random.Random(seed)
+        n = 60
+        edges = [
+            (rnd.randrange(n), rnd.randrange(n)) for _ in range(40)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        simple = {
+            r.id: r.component for r in connected_components(pairs).collect()
+        }
+        star = {
+            r.id: r.component for r in connected_components_star(pairs).collect()
+        }
+        assert star == simple, f"seed={seed}"
+
+
+def test_star_cc_long_chain(spark):
+    """A path graph (worst case for min-label) still resolves to one min."""
+    from nebula_importer_spark.pipeline.canonicalize import connected_components_star
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "id_a long, id_b long"
+    )
+    comp = {r.id: r.component for r in connected_components_star(pairs).collect()}
+    assert set(comp.values()) == {0}
+    assert len(comp) == 31
