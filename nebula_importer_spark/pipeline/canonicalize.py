@@ -191,9 +191,16 @@ def canonical_mapping(
     id_col: str = "doc_id",
     src_col: str = "id_a",
     dst_col: str = "id_b",
+    algorithm: str = "min_label",
 ) -> DataFrame:
-    """(id, canonical_id) for ALL ids: component-min for linked ids, self else."""
-    comp = connected_components(pairs, src_col, dst_col)
+    """(id, canonical_id) for ALL ids: component-min for linked ids, self else.
+
+    ``algorithm``: "min_label" (O(diameter) rounds — optimal for entity-dedup
+    graphs, whose components are tiny) or "star" (large-star/small-star,
+    O(log² n) rounds — the choice for huge or high-diameter graphs).
+    """
+    cc = connected_components_star if algorithm == "star" else connected_components
+    comp = cc(pairs, src_col, dst_col)
     return (
         ids.select(F.col(id_col))
         .dropDuplicates()
