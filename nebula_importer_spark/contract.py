@@ -371,6 +371,18 @@ def q_kg_extract_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _mentions(spark, sf_dir)
 
 
+def q_kg_extract_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern-channel mention detection: regex hits per doc (S13 analog)."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    hits = F.regexp_extract_all(norm, F.lit(r"\b[a-z]*ar[a-z]*\b"), 0)
+    return (
+        docs.select("doc_id", F.explode(hits).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 def q_kg_link_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _linked(spark, sf_dir)
 
@@ -475,6 +487,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "kg_extract_mentions": q_kg_extract_mentions,
+    "kg_extract_pattern": q_kg_extract_pattern,
     "kg_link_alias": q_kg_link_alias,
     "kg_triples_docs": q_kg_triples_docs,
     "kg_canonicalize_cc": q_kg_canonicalize_cc,
@@ -809,6 +822,11 @@ ORACLES: dict[str, str] = {
       SELECT probe_id, neighbor_id, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 5
     """,
     "kg_extract_mentions": f"WITH {_MENTIONS} SELECT doc_id, term, n FROM mentions",
+    "kg_extract_pattern": f"""
+      WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+      hits AS (SELECT doc_id, unnest(regexp_extract_all(t, '\\b[a-z]*ar[a-z]*\\b')) AS term FROM norm)
+      SELECT doc_id, term, COUNT(*) AS n FROM hits GROUP BY doc_id, term
+    """,
     "kg_link_alias": f"WITH {_LINKED} SELECT doc_id, entity, n FROM linked",
     "kg_triples_docs": f"WITH {_DOC_TRIPLES} SELECT subj, pred, obj FROM triples",
     "kg_canonicalize_cc": f"""
