@@ -171,3 +171,98 @@ def ann_lsh_topk(
         .where(F.col("rank") <= k)
         .select("probe_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def ivf_assign(
+    df: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantizer: deterministic centroids + nearest-centroid lists.
+
+    Centroids are a deterministic strided sample of the corpus (every k-th
+    vector by id rank) — no RNG/k-means state to checkpoint, and on skewed
+    real corpora one k-means refinement pass can replace this without
+    changing any downstream shape. Assignment is a broadcast argmin over the
+    centroid set: one linear scan, no shuffle of the corpus.
+
+    Returns (centroids, assigned) where assigned carries ``list_id``.
+    """
+    w = Window.orderBy(F.col(id_col))
+    ranked = df.withColumn("_rk", F.row_number().over(w))
+    total = df.count()
+    stride = max(1, total // n_centroids)
+    centroids = (
+        ranked.where((F.col("_rk") - 1) % stride == 0)
+        .limit(n_centroids)
+        .select(
+            ((F.col("_rk") - 1) / stride).cast("int").alias("list_id"),
+            F.col(vec_col).alias("centroid"),
+        )
+    )
+    scored = (
+        df.join(F.broadcast(centroids))
+        .select(
+            id_col, vec_col,
+            F.col("list_id"),
+            cosine(
+                F.col(vec_col).cast("array<double>"), F.col("centroid").cast("array<double>")
+            ).alias("_sim"),
+        )
+    )
+    best = Window.partitionBy(id_col).orderBy(F.col("_sim").desc(), F.col("list_id").asc())
+    assigned = (
+        scored.withColumn("_r", F.row_number().over(best))
+        .where(F.col("_r") == 1)
+        .select(id_col, vec_col, "list_id")
+    )
+    return centroids, assigned
+
+
+def ann_ivf_topk(
+    df: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: search only the ``nprobe`` nearest lists.
+
+    Scale path beyond the sign-sketch LSH: candidate count is
+    O(probes × corpus × nprobe / n_centroids); recall is tuned by nprobe.
+    The inverted lists shuffle once on list_id; probes broadcast.
+    """
+    centroids, assigned = ivf_assign(df, n_centroids, id_col, vec_col)
+    p = probes.select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec"))
+    p_scored = p.join(F.broadcast(centroids)).select(
+        "probe_id", "probe_vec", "list_id",
+        cosine(
+            F.col("probe_vec").cast("array<double>"), F.col("centroid").cast("array<double>")
+        ).alias("_sim"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("_sim").desc(), F.col("list_id").asc())
+    probe_lists = (
+        p_scored.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= nprobe)
+        .select("probe_id", "probe_vec", "list_id")
+    )
+    cand = (
+        assigned.withColumnRenamed(id_col, "neighbor_id")
+        .join(F.broadcast(probe_lists), "list_id")
+        .where(F.col("neighbor_id") != F.col("probe_id"))
+        .select(
+            "probe_id", "neighbor_id",
+            cosine(
+                F.col("probe_vec").cast("array<double>"), F.col(vec_col).cast("array<double>")
+            ).alias("cos"),
+        )
+    )
+    rank_w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(rank_w))
+        .where(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
+    )

@@ -71,4 +71,4 @@ def test_every_query_has_matching_oracle_keys():
     assert set(ORACLES) <= set(QUERIES)
     # rows-only exceptions are deliberate and few
     rows_only = set(QUERIES) - set(ORACLES)
-    assert rows_only == {"ann_lsh_topk", "multimodal_features"}
+    assert rows_only == {"ann_lsh_topk", "ann_ivf_topk", "multimodal_features"}

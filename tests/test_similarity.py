@@ -68,3 +68,24 @@ def test_ann_lsh_topk_recalls_bucket_neighbors(spark):
     got = ann_lsh_topk(df, df.where("vec_id = 0"), k=3).collect()
     ids = {r.neighbor_id for r in got}
     assert 1 in ids  # same-bucket true neighbor always recalled
+
+
+def test_ivf_assign_and_topk(spark):
+    from nebula_importer_spark.operators.similarity import ann_ivf_topk, ivf_assign
+
+    df = _df(spark)
+    centroids, assigned = ivf_assign(df, n_centroids=3)
+    assert centroids.count() == 3
+    lists = {r.vec_id: r.list_id for r in assigned.collect()}
+    assert set(lists) == {0, 1, 2, 3, 4, 5}       # every vector assigned
+    assert lists[0] == lists[1]                    # near-identical share a list
+
+    got = ann_ivf_topk(df, df.where("vec_id = 0"), k=3, n_centroids=3, nprobe=3)
+    ranked = [r.neighbor_id for r in sorted(got.collect(), key=lambda r: r.rank)]
+    # nprobe = all lists → exact result, matches brute force
+    assert ranked == [1, 2, 3]
+
+    # nprobe=1: only vec 0's own list searched → recall < 1 but its closest
+    # same-list neighbor is always found
+    got1 = ann_ivf_topk(df, df.where("vec_id = 0"), k=3, n_centroids=3, nprobe=1)
+    assert 1 in {r.neighbor_id for r in got1.collect()}
