@@ -302,8 +302,11 @@ def q_map_alternative_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_map_upsert_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UPSERT EDGE statements with the fork's per-prop expr guard (P9):
-    props whose rendered value is NULL drop their SET clause."""
+    """UPSERT EDGE statements with the fork's per-prop expr guard (P9).
+
+    ``val`` binds to the FULL ``name = value`` clause (reference
+    ``SetValueList``, prop.go:130-153), so the skip-NULL guard compares
+    against the whole rendered clause string."""
     spec = EdgeSpec(
         name="placed",
         src=NodeIDSpec(type="STRING", concat_items=["c_", 1]),
@@ -312,7 +315,8 @@ def q_map_upsert_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
             PropSpec("status", "STRING", 2),
             PropSpec(
                 "priority", "STRING", 5,
-                nullable=True, null_value="1-URGENT", expr='val != "NULL"',
+                nullable=True, null_value="1-URGENT",
+                expr='val != "`priority` = NULL"',
             ),
         ],
         mode="UPSERT",
@@ -368,11 +372,52 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-partitioned approximate top-k (rows-only: approximate recall)."""
+    """IVF-partitioned approximate top-k.
+
+    Fully oracle-checked: the sketch/centroid choice is deterministic
+    (md5-derived), so DuckDB replicates the *approximate* result exactly."""
     from nebula_importer_spark.operators.similarity import ann_ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     return ann_ivf_topk(emb, emb.where(F.col("vec_id") < 10), k=5, n_centroids=16, nprobe=4)
+
+
+def _recall_df(probes: DataFrame, approx: DataFrame, exact: DataFrame) -> DataFrame:
+    """(probe_id, recall_pct): |approx∩exact| × 20 — recall@5 as BIGINT %."""
+    hits = (
+        approx.select("probe_id", "neighbor_id")
+        .join(exact.select("probe_id", "neighbor_id"), ["probe_id", "neighbor_id"])
+        .groupBy("probe_id")
+        .agg(F.count("*").alias("h"))
+    )
+    return (
+        probes.select(F.col("vec_id").alias("probe_id"))
+        .join(hits, "probe_id", "left")
+        .select(
+            "probe_id",
+            (F.coalesce(F.col("h"), F.lit(0)) * 20).cast("long").alias("recall_pct"),
+        )
+    )
+
+
+def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 of the LSH sign-sketch ANN vs exact top-k, per probe."""
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 10)
+    return _recall_df(probes, ann_lsh_topk(emb, probes, k=5), cosine_topk(emb, probes, k=5))
+
+
+def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 of the IVF ANN vs exact top-k, per probe."""
+    from nebula_importer_spark.operators.similarity import ann_ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 10)
+    return _recall_df(
+        probes,
+        ann_ivf_topk(emb, probes, k=5, n_centroids=16, nprobe=4),
+        cosine_topk(emb, probes, k=5),
+    )
 
 
 def q_kg_extract_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -445,8 +490,12 @@ def q_spans_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: media spans → binary payloads → (fake) decode →
-    per-kind feature stats. Rows-only check (the deterministic stand-in
-    decoder is Python-side; see pipeline/multimodal.py)."""
+    per-media feature vectors, oracle-checked.
+
+    The md5-derived stand-in features are recomputable by DuckDB from the
+    media_ref alone, so every media row's first four feature dims are
+    verified value-by-value (as exact BIGINT uint32 recoveries — the float32
+    feature is v = u/2³² − ½ with u recoverable via floor(v·2³² + 2³¹ + ½))."""
     from nebula_importer_spark.pipeline.multimodal import decode_media, media_table
 
     docs = _t(spark, sf_dir, "documents")
@@ -454,10 +503,24 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(F.col("doc_id").cast("string").alias("doc_id"), "text")
     )
     feats = decode_media(media_table(explode_spans(corpus)), fake=True)
-    return feats.groupBy("kind").agg(
-        F.count("*").alias("n_media"),
-        F.min(F.size("features")).alias("dim_min"),
-        F.max(F.size("features")).alias("dim_max"),
+
+    def u(j: int):
+        return (
+            F.floor(
+                F.element_at("features", j + 1).cast("double") * F.lit(4294967296.0)
+                + F.lit(2147483648.0)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias(f"u{j}")
+        )
+
+    return feats.select(
+        "doc_id",
+        "media_ref",
+        "kind",
+        F.size("features").cast("int").alias("n_dims"),
+        *[u(j) for j in range(4)],
     )
 
 
@@ -495,6 +558,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_lsh_recall": q_ann_lsh_recall,
+    "ann_ivf_recall": q_ann_ivf_recall,
     "kg_extract_mentions": q_kg_extract_mentions,
     "kg_extract_pattern": q_kg_extract_pattern,
     "kg_link_alias": q_kg_link_alias,
@@ -560,13 +625,15 @@ _JACCARD_PAIRS = """
   inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
             FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
             GROUP BY 1, 2),
+  -- CAST AS DOUBLE: DuckDB parses 1.0 as DECIMAL (exact math) while Spark
+  -- divides in binary double; micro-units floor on the same double matches.
   jp AS (SELECT id_a, id_b,
-                CAST(ROUND(i * 1.0 / (sa.n_sh + sb.n_sh - i), 6) AS DECIMAL(10,6)) AS jaccard,
-                i * 1.0 / (sa.n_sh + sb.n_sh - i) AS j_raw
+                CAST(FLOOR(CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i) * 1000000.0 + 0.5) AS BIGINT) AS jaccard_micro,
+                CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i) AS j_raw
          FROM inter
          JOIN sizes sa ON inter.id_a = sa.doc_id
          JOIN sizes sb ON inter.id_b = sb.doc_id),
-  pairs AS (SELECT id_a, id_b, jaccard FROM jp WHERE j_raw >= 0.3)
+  pairs AS (SELECT id_a, id_b, jaccard_micro FROM jp WHERE j_raw >= CAST(0.3 AS DOUBLE))
 """
 
 _MH = ",\n".join(
@@ -595,6 +662,118 @@ _COS_PAIR = """
             * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
 """
 
+
+def _cos_sql(av: str, bv: str) -> str:
+    """Cosine of two array columns, matching operators.similarity.cosine
+    (same left-fold summation order as Spark's ``aggregate``)."""
+    def sq(v: str) -> str:
+        return f"list_sum(list_transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+
+    dot = (
+        f"list_sum(list_transform(range(1, len({av}) + 1), "
+        f"i -> CAST({av}[i] AS DOUBLE) * CAST({bv}[i] AS DOUBLE)))"
+    )
+    return f"({dot} / (sqrt({sq(av)}) * sqrt({sq(bv)})))"
+
+
+# --- LSH sign-sketch replicated in SQL (mirrors similarity.lsh_sign_sketch:
+# weight(i,d) = int(md5('hp{i}:'||d)[0:8 hex]) / 2^32 - 0.5) ---------------
+
+def _hex2int_sql(h: str, start: int = 1) -> str:
+    """Big-endian uint32 (as exact DOUBLE) from 8 hex digits of ``h``."""
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr({h}, {start + k}, 1)) - 1) * {16 ** (7 - k)}.0"
+        for k in range(8)
+    )
+
+
+_HEX2INT = _hex2int_sql("h")
+
+_LSH_PLANES = 8
+
+_LSH_SKETCH = f"""
+  wsrc AS (SELECT i, d, md5('hp' || CAST(i AS VARCHAR) || ':' || CAST(d AS VARCHAR)) AS h
+           FROM (SELECT unnest(generate_series(0, {_LSH_PLANES - 1})) AS i),
+                (SELECT unnest(generate_series(0, 63)) AS d)),
+  wlist AS (SELECT i, list(({_HEX2INT}) / 4294967296.0 - 0.5 ORDER BY d) AS wl
+            FROM wsrc GROUP BY i),
+  proj AS (SELECT e.vec_id, w.i,
+                  list_sum(list_transform(range(1, 65),
+                           dd -> CAST(e.embedding[dd] AS DOUBLE) * w.wl[dd])) AS pr
+           FROM embeddings e, wlist w),
+  sk AS (SELECT vec_id,
+                CAST(SUM(CASE WHEN pr >= 0 THEN POWER(2, i) ELSE 0 END) AS INT) AS bucket
+         FROM proj GROUP BY vec_id),
+  skv AS (SELECT e.vec_id, e.embedding, s.bucket FROM embeddings e JOIN sk s USING (vec_id))
+"""
+
+_LSH_TOPK = f"""
+  lsh_scored AS (SELECT b.vec_id AS probe_id, a.vec_id AS neighbor_id,
+                        {_cos_sql('b.embedding', 'a.embedding')} AS cos
+                 FROM skv b JOIN skv a ON a.bucket = b.bucket
+                 WHERE b.vec_id < 10 AND a.vec_id != b.vec_id),
+  lsh_ranked AS (SELECT probe_id, neighbor_id,
+                        ROW_NUMBER() OVER (PARTITION BY probe_id
+                                           ORDER BY cos DESC, neighbor_id ASC) AS rank
+                 FROM lsh_scored),
+  lsh_topk AS (SELECT probe_id, neighbor_id, CAST(rank AS INT) AS rank
+               FROM lsh_ranked WHERE rank <= 5)
+"""
+
+# --- IVF replicated in SQL (mirrors similarity.ivf_assign: centroids are the
+# n vectors minimizing md5(id); broadcast argmin assignment; nprobe lists) ---
+
+_IVF_TOPK = f"""
+  cent AS (SELECT vec_id AS list_id, embedding AS centroid
+           FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16),
+  asgn AS (SELECT vec_id, embedding, list_id FROM (
+             SELECT e.vec_id, e.embedding, c.list_id,
+                    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                       ORDER BY {_cos_sql('e.embedding', 'c.centroid')} DESC,
+                                                c.list_id ASC) AS rr
+             FROM embeddings e, cent c) WHERE rr = 1),
+  plists AS (SELECT probe_id, probe_vec, list_id FROM (
+             SELECT e.vec_id AS probe_id, e.embedding AS probe_vec, c.list_id,
+                    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                       ORDER BY {_cos_sql('e.embedding', 'c.centroid')} DESC,
+                                                c.list_id ASC) AS rr
+             FROM embeddings e, cent c WHERE e.vec_id < 10) WHERE rr <= 4),
+  ivf_scored AS (SELECT pl.probe_id, a.vec_id AS neighbor_id,
+                        {_cos_sql('pl.probe_vec', 'a.embedding')} AS cos
+                 FROM plists pl JOIN asgn a USING (list_id)
+                 WHERE a.vec_id != pl.probe_id),
+  ivf_ranked AS (SELECT probe_id, neighbor_id,
+                        ROW_NUMBER() OVER (PARTITION BY probe_id
+                                           ORDER BY cos DESC, neighbor_id ASC) AS rank
+                 FROM ivf_scored),
+  ivf_topk AS (SELECT probe_id, neighbor_id, CAST(rank AS INT) AS rank
+               FROM ivf_ranked WHERE rank <= 5)
+"""
+
+_EXACT_TOPK = f"""
+  ex_scored AS ({_COS_PAIR}
+                FROM embeddings b, embeddings a
+                WHERE b.vec_id < 10 AND a.vec_id != b.vec_id),
+  ex_topk AS (SELECT id_b AS probe_id, id_a AS neighbor_id
+              FROM (SELECT id_a, id_b,
+                           ROW_NUMBER() OVER (PARTITION BY id_b
+                                              ORDER BY cos DESC, id_a ASC) AS rank
+                    FROM ex_scored) WHERE rank <= 5)
+"""
+
+
+def _recall_sql(approx_topk: str) -> str:
+    """recall@5 per probe (BIGINT percent) of an approximate top-k CTE."""
+    return f"""
+      hits AS (SELECT t.probe_id, COUNT(*) AS h
+               FROM {approx_topk} t JOIN ex_topk e
+                 ON t.probe_id = e.probe_id AND t.neighbor_id = e.neighbor_id
+               GROUP BY t.probe_id),
+      probes AS (SELECT vec_id AS probe_id FROM embeddings WHERE vec_id < 10)
+      SELECT p.probe_id, CAST(COALESCE(h.h, 0) * 20 AS BIGINT) AS recall_pct
+      FROM probes p LEFT JOIN hits h USING (probe_id)
+    """
+
 _MENTIONS = f"""
   norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
   toks AS (SELECT doc_id, unnest(string_split(t, ' ')) AS term FROM norm),
@@ -608,7 +787,9 @@ _ALIAS_VALUES = ", ".join(f"('{k}', '{v}')" for k, v in sorted(ALIASES.items()))
 _LINKED = f"""
   {_MENTIONS},
   aliases(term, entity) AS (VALUES {_ALIAS_VALUES}),
-  linked AS (SELECT m.doc_id, a.entity, SUM(m.n) AS n
+  -- CAST(SUM AS BIGINT): DuckDB SUM(BIGINT) returns HUGEINT, which renders
+  -- differently from Spark's BIGINT at the driver's contract boundary
+  linked AS (SELECT m.doc_id, a.entity, CAST(SUM(m.n) AS BIGINT) AS n
              FROM mentions m JOIN aliases a USING (term)
              GROUP BY m.doc_id, a.entity)
 """
@@ -761,14 +942,16 @@ ORACLES: dict[str, str] = {
                    CAST(stops AS DOUBLE) / n_tok AS stop_ratio
             FROM q)
       SELECT doc_id, CAST(n_tok AS INT) AS n_tokens,
-             -- floor(x*1e6 + 0.5): binary-double rounding, engine-identical
-             CAST(FLOOR(mean_wl * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(12,6)) AS mean_word_len,
-             CAST(FLOOR(stop_ratio * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(12,6)) AS stopword_ratio,
+             -- floor(x*1e6 + 0.5) AS BIGINT: binary-double rounding into
+             -- integer micro-units — engine-identical, and no fractional
+             -- type crosses the boundary (DECIMAL stringifies differently)
+             CAST(FLOOR(mean_wl * 1000000.0 + 0.5) AS BIGINT) AS mean_word_len_micro,
+             CAST(FLOOR(stop_ratio * 1000000.0 + 0.5) AS BIGINT) AS stopword_ratio_micro,
              CAST(FLOOR((
                least(n_tok / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
                + (CAST(1.0 AS DOUBLE) - stop_ratio) * CAST(0.3 AS DOUBLE)
                + least(mean_wl / CAST(8.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.3 AS DOUBLE)
-             ) * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(12,6)) AS quality_score
+             ) * 1000000.0 + 0.5) AS BIGINT) AS quality_score_micro
       FROM m
     """,
     "text_lang_id": """
@@ -795,7 +978,7 @@ ORACLES: dict[str, str] = {
       canon AS (SELECT f, MIN(doc_id) AS canonical_id FROM fp GROUP BY f)
       SELECT fp.doc_id, canon.canonical_id FROM fp JOIN canon USING (f)
     """,
-    "dedup_ngram_jaccard": f"WITH {_SHINGLES}, {_JACCARD_PAIRS} SELECT id_a, id_b, jaccard FROM pairs",
+    "dedup_ngram_jaccard": f"WITH {_SHINGLES}, {_JACCARD_PAIRS} SELECT id_a, id_b, jaccard_micro FROM pairs",
     "dedup_minhash_lsh": f"""
       WITH {_SHINGLES}, {_JACCARD_PAIRS},
       sig AS (SELECT doc_id,
@@ -805,7 +988,7 @@ ORACLES: dict[str, str] = {
       cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
                FROM band a JOIN band b ON a.band = b.band AND a.digest = b.digest
                                        AND a.doc_id < b.doc_id)
-      SELECT c.id_a, c.id_b, p.jaccard
+      SELECT c.id_a, c.id_b, p.jaccard_micro
       FROM cand c JOIN pairs p ON c.id_a = p.id_a AND c.id_b = p.id_b
     """,
     "dedup_simhash": f"""
@@ -818,8 +1001,8 @@ ORACLES: dict[str, str] = {
     """,
     "dedup_embedding_cosine": f"""
       WITH p AS ({_COS_PAIR} FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
-      SELECT id_a, id_b, CAST(ROUND(cos, 4) AS DECIMAL(8,4)) AS cos
-      FROM p WHERE cos >= 0.45
+      SELECT id_a, id_b, CAST(FLOOR(cos * 10000.0 + 0.5) AS BIGINT) AS cos_e4
+      FROM p WHERE cos >= CAST(0.45 AS DOUBLE)
     """,
     "ann_cosine_topk": f"""
       WITH s AS ({_COS_PAIR}
@@ -830,6 +1013,10 @@ ORACLES: dict[str, str] = {
                  FROM s)
       SELECT probe_id, neighbor_id, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 5
     """,
+    "ann_lsh_topk": f"WITH {_LSH_SKETCH}, {_LSH_TOPK} SELECT probe_id, neighbor_id, rank FROM lsh_topk",
+    "ann_ivf_topk": f"WITH {_IVF_TOPK} SELECT probe_id, neighbor_id, rank FROM ivf_topk",
+    "ann_lsh_recall": f"WITH {_LSH_SKETCH}, {_LSH_TOPK}, {_EXACT_TOPK}, {_recall_sql('lsh_topk')}",
+    "ann_ivf_recall": f"WITH {_IVF_TOPK}, {_EXACT_TOPK}, {_recall_sql('ivf_topk')}",
     "kg_extract_mentions": f"WITH {_MENTIONS} SELECT doc_id, term, n FROM mentions",
     "kg_extract_pattern": f"""
       WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
@@ -871,7 +1058,30 @@ ORACLES: dict[str, str] = {
                             WHEN 6 THEN 'table_row' ELSE 'text' END AS kind
                 FROM tok, unnest(generate_series(0, CAST(ceil(len(w) / 5.0) AS INT) - 1)) u(i))
       SELECT kind, COUNT(*) AS n_spans,
-             SUM(CASE WHEN kind != 'text' THEN 1 ELSE 0 END) AS n_media
+             CAST(SUM(CASE WHEN kind != 'text' THEN 1 ELSE 0 END) AS BIGINT) AS n_media
       FROM spans GROUP BY kind
+    """,
+    "multimodal_features": f"""
+      WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+      tok AS (SELECT doc_id, t, string_split(t, ' ') AS w FROM norm),
+      spans AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, i,
+                       CASE (i + length(t)) % 7
+                            WHEN 3 THEN 'image' WHEN 5 THEN 'audio'
+                            WHEN 6 THEN 'table_row' ELSE 'text' END AS kind
+                FROM tok, unnest(generate_series(0, CAST(ceil(len(w) / 5.0) AS INT) - 1)) u(i)),
+      media AS (SELECT doc_id, kind,
+                       'media://' || doc_id || '/' || CAST(i AS VARCHAR) AS media_ref
+                FROM spans WHERE kind != 'text'),
+      -- features are md5(media_ref || ':0') big-endian uint32 blocks,
+      -- round-tripped through REAL to match the operator's float32 column
+      dig AS (SELECT doc_id, media_ref, kind, md5(media_ref || ':0') AS h FROM media)
+      SELECT doc_id, media_ref, kind, CAST(16 AS INT) AS n_dims,
+             {", ".join(
+                 "CAST(FLOOR(CAST(CAST((" + _hex2int_sql("h", 8 * j + 1)
+                 + ") / 4294967296.0 - 0.5 AS REAL) AS DOUBLE) * 4294967296.0"
+                 " + 2147483648.0 + 0.5) AS BIGINT) AS u" + str(j)
+                 for j in range(4)
+             )}
+      FROM dig
     """,
 }

@@ -187,8 +187,8 @@ def compile_filter(
 
     ``record`` is the ``array<string>`` column holding the CSV record
     (``Record[i]`` references); ``variables`` binds bare names to Columns —
-    the prop-level guard env is ``{"val": <rendered value>}``
-    (``pkg/spec/v3/prop.go:47-57``).
+    the prop-level guard env is ``{"val": <full "name = value" clause>}``
+    (``pkg/spec/v3/prop.go:69-75,130-153``).
     """
     if not expr or not expr.strip():
         raise FilterSyntaxError("empty filter expression")

@@ -73,15 +73,21 @@ def _elem(record: Column, index: int) -> Column:
     return F.coalesce(F.element_at(record, index + 1), F.lit(""))
 
 
-def quote_column(c: Column) -> Column:
-    """Go ``strconv.Quote`` as a Column expression (common-case escapes).
+def quote_column(c: Column, exact: bool = False) -> Column:
+    """Go ``strconv.Quote`` as a Column expression.
 
-    Covers backslash, double-quote, and the C0 short escapes — the full set
-    exercised by the reference's fixtures and goldens. Exotic non-printables
-    (rare control/format codepoints) fall outside this fast path; the pandas
-    renderer in operators/statements.py uses the exact pure-Python
-    ``go_quote`` when byte-exactness against arbitrary bytes is required.
+    The default fast path covers backslash, double-quote, and the C0 short
+    escapes — the full set exercised by the reference's fixtures and
+    goldens — entirely JVM-side (whole-stage codegen). ``exact=True``
+    switches to an Arrow-batched pandas UDF over the byte-exact pure-Python
+    :func:`~nebula_importer_spark.functions.quoting.go_quote` (hex/unicode
+    escapes for every non-printable, e.g. ``\\x00`` → ``\\x00``, U+2028 →
+    ``\\u2028``) — use it when inputs may contain arbitrary control/format
+    codepoints and byte parity with ``strconv.Quote`` matters more than
+    staying in codegen.
     """
+    if exact:
+        return _go_quote_udf()(c)
     x = F.replace(c, F.lit("\\"), F.lit("\\\\"))
     for ch, esc in (
         ("\a", "\\a"),
@@ -95,6 +101,20 @@ def quote_column(c: Column) -> Column:
     ):
         x = F.replace(x, F.lit(ch), F.lit(esc))
     return F.concat(F.lit('"'), x, F.lit('"'))
+
+
+def _go_quote_udf():
+    """Arrow-batched strconv.Quote UDF (built lazily: pandas_udf needs an
+    active session to parse its return type, so no module-import side
+    effects)."""
+    from nebula_importer_spark.functions.quoting import go_quote
+    from pyspark.sql.types import StringType
+
+    @F.pandas_udf(StringType())
+    def quote(s):
+        return s.map(lambda v: go_quote("" if v is None else v))
+
+    return quote
 
 
 def _nullish(c: Column) -> Column:
@@ -114,7 +134,7 @@ def _wrap(name: str, inner: Column) -> Column:
     return F.concat(F.lit(name + "("), inner, F.lit(")"))
 
 
-def convert_type_column(c: Column, type_: str) -> Column:
+def convert_type_column(c: Column, type_: str, exact: bool = False) -> Column:
     """Apply the reference's type conversion → rendered literal text.
 
     Semantics per type from ``pkg/picker/converter_type.go:59-132``,
@@ -132,22 +152,22 @@ def convert_type_column(c: Column, type_: str) -> Column:
             .otherwise(c)
         )
     if t in ("STRING", "FIXED_STRING") or t.startswith("FIXED_STRING"):
-        return quote_column(c)
+        return quote_column(c, exact)
     if t == "DATE":
         v = F.when(_nullish(c), F.lit("2000-01-01")).otherwise(c)
-        return _wrap("DATE", quote_column(v))
+        return _wrap("DATE", quote_column(v, exact))
     if t == "TIME":
         v = F.when(_nullish(c), F.lit("00:00:00.000000")).otherwise(c)
-        return _wrap("TIME", quote_column(_z_to_offset(v)))
+        return _wrap("TIME", quote_column(_z_to_offset(v), exact))
     if t == "DATETIME":
         v = F.when(_nullish(c), F.lit(DATETIME_NULL_DEFAULT)).otherwise(c)
-        return _wrap("DATETIME", quote_column(_z_to_offset(v)))
+        return _wrap("DATETIME", quote_column(_z_to_offset(v), exact))
     if t == "TIMESTAMP":
         return F.when(c.rlike(UNSIGNED_INT_RE), _wrap("TIMESTAMP", c)).otherwise(
-            _wrap("TIMESTAMP", quote_column(c))
+            _wrap("TIMESTAMP", quote_column(c, exact))
         )
     if t.startswith("GEOGRAPHY"):
-        return _wrap("ST_GeogFromText", quote_column(c))
+        return _wrap("ST_GeogFromText", quote_column(c, exact))
     raise UnsupportedValueTypeError(f"unsupported value type: {type_}")
 
 
@@ -168,6 +188,9 @@ class PickerConfig:
     default_value: Optional[str] = None
     type: str = "STRING"
     function: Optional[str] = None
+    # use the byte-exact strconv.Quote pandas UDF instead of the codegen
+    # fast path (arbitrary non-printables; see quote_column)
+    exact_quote: bool = False
 
     def validate(self) -> None:
         if self.type.upper() not in _SUPPORTED_TYPES:
@@ -222,14 +245,14 @@ def build_picker_column(cfg: PickerConfig, record: Column) -> Column:
         picked = F.when(is_null, F.lit(cfg.default_value)).otherwise(picked)
         is_null = F.lit(False)
 
-    converted = convert_type_column(picked, cfg.type)
+    converted = convert_type_column(picked, cfg.type, cfg.exact_quote)
 
     if cfg.function:
         if cfg.type.upper() in ("STRING", "FIXED_STRING"):
             # value already quoted by the STRING type converter
             converted = _wrap(cfg.function, converted)
         else:
-            converted = _wrap(cfg.function, quote_column(converted))
+            converted = _wrap(cfg.function, quote_column(converted, cfg.exact_quote))
 
     if nullable:
         return F.when(is_null, F.lit(cfg.null_value)).otherwise(converted)

@@ -73,15 +73,33 @@ def ngram_jaccard_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_df: Optional[int] = None,
 ) -> DataFrame:
     """Exact near-dup pairs with word-n-gram Jaccard ≥ threshold.
 
     Inverted-index self-join on the shingle (the exact-blocking baseline the
-    LSH variant approximates). Returns (id_a, id_b, jaccard) with id_a < id_b;
-    jaccard is decimal(10,6) for engine-stable comparison.
+    LSH variant approximates). Returns (id_a, id_b, jaccard_micro) with
+    id_a < id_b; jaccard_micro is BIGINT micro-units (floor(j·1e6 + 0.5)) so
+    no fractional numeric crosses an engine boundary.
+
+    ``max_df`` caps shingle document frequency: shingles appearing in more
+    than ``max_df`` docs are dropped *before* the self-join (standard
+    inverted-index stop-shingle pruning). Without it one hot shingle in 10⁶
+    docs creates a 10¹²-row bucket; with it candidate generation is bounded
+    by O(Σ min(df, max_df)²). The cut can only lose pairs whose entire
+    overlap is stop-shingles — at a sane cap those are far below any useful
+    threshold anyway.
     """
     sh = word_shingles(df, n=n, text_col=text_col, id_col=id_col)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    if max_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") <= max_df)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle")
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
     inter = (
@@ -100,7 +118,7 @@ def ngram_jaccard_pairs(
         .select(
             "id_a",
             "id_b",
-            F.round(j, 6).cast("decimal(10,6)").alias("jaccard"),
+            F.floor(j * F.lit(1_000_000.0) + F.lit(0.5)).cast("long").alias("jaccard_micro"),
         )
     )
 
@@ -202,7 +220,9 @@ def minhash_lsh_pairs(
         .join(sets.select(F.col(id_col).alias("id_b"), F.col("shset").alias("sb")), "id_b")
         .where(j >= F.lit(threshold))
         .select(
-            "id_a", "id_b", F.round(j, 6).cast("decimal(10,6)").alias("jaccard")
+            "id_a",
+            "id_b",
+            F.floor(j * F.lit(1_000_000.0) + F.lit(0.5)).cast("long").alias("jaccard_micro"),
         )
     )
 

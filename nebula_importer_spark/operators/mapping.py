@@ -41,15 +41,19 @@ def _prop_values(spec_props, record: Column) -> List[Column]:
 def _set_clauses(spec_props) -> List[Column]:
     """Per-prop ``name = value`` SET clauses for UPDATE/UPSERT.
 
-    A prop with a guard ``expr`` (env ``{"val": rendered}``) yields NULL when
-    the guard is false — ``concat_ws`` drops NULL elements, which is exactly
-    the reference's skip-this-clause semantics (``prop.go:137-148``).
+    The guard ``expr`` env binds ``val`` to the FULL clause string — the
+    reference's ``SetValue`` returns ``convertedName + " = " + value`` and
+    ``SetValueList`` passes that whole string as ``val``
+    (``prop.go:69-75,130-153``) — so e.g. ``val != "`p` = NULL"`` is the
+    idiomatic skip-NULL guard, while ``val != "NULL"`` is (faithfully)
+    always true. A false guard yields NULL, and ``concat_ws`` drops NULL
+    elements — exactly the reference's skip-this-clause semantics.
     """
     out: List[Column] = []
     for p in spec_props:
         clause = F.concat(F.lit(p.converted_name + " = "), F.col(f"p_{p.name}"))
         if p.expr:
-            guard = compile_filter(p.expr, variables={"val": F.col(f"p_{p.name}")})
+            guard = compile_filter(p.expr, variables={"val": clause})
             clause = F.when(guard, clause)
         out.append(clause)
     return out

@@ -60,8 +60,10 @@ def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
 def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Deterministic quality signals: length, mean word length, stopword ratio.
 
-    ``score`` is a fixed linear blend rounded to 6 decimals (decimal-stable
-    across engines for oracle comparison).
+    Ratios are emitted as BIGINT micro-units (``floor(x·1e6 + 0.5)``) rather
+    than DECIMAL: fractional types stringify differently across engine
+    boundaries (Decimal ``0.518688`` vs float ``0.5186880000000001``), so no
+    non-integer numeric ever crosses the contract boundary.
     """
     text = F.col(text_col)
     toks = tokens_col(text)
@@ -80,16 +82,14 @@ def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
         # computing the same double gets the same digits — unlike round(),
         # where Spark rounds the decimal repr and DuckDB the raw binary,
         # which disagree on exact ties like 0.5186875
-        return (F.floor(c * F.lit(1_000_000.0) + F.lit(0.5)) / F.lit(1_000_000.0)).cast(
-            "decimal(12,6)"
-        )
+        return F.floor(c * F.lit(1_000_000.0) + F.lit(0.5)).cast("long")
 
     return df.select(
         F.col(id_col),
         n_tok.alias("n_tokens"),
-        q6(mean_wl).alias("mean_word_len"),
-        q6(stop_ratio).alias("stopword_ratio"),
-        q6(score).alias("quality_score"),
+        q6(mean_wl).alias("mean_word_len_micro"),
+        q6(stop_ratio).alias("stopword_ratio_micro"),
+        q6(score).alias("quality_score_micro"),
     )
 
 

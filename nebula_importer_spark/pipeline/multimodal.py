@@ -62,12 +62,17 @@ def media_table(spans: DataFrame) -> DataFrame:
 
 
 def _fake_features(payload: bytes) -> list[float]:
-    """Deterministic md5-derived pseudo-embedding (decoder stand-in)."""
+    """Deterministic md5-derived pseudo-embedding (decoder stand-in).
+
+    Block ``i`` is md5(payload ‖ ":" ‖ str(i)) — a string-safe seed so the
+    DuckDB oracle can recompute features from the media_ref alone
+    (contract.py ``multimodal_features``); each digest yields four
+    big-endian-uint32 floats in [-0.5, 0.5).
+    """
     out: list[float] = []
-    h = b""
     i = 0
     while len(out) < FEATURE_DIM:
-        h = hashlib.md5(payload + i.to_bytes(4, "big")).digest()
+        h = hashlib.md5(payload + b":" + str(i).encode()).digest()
         for k in range(0, 16, 4):
             if len(out) >= FEATURE_DIM:
                 break

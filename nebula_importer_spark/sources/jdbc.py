@@ -52,14 +52,55 @@ def build_reader_options(
     return opts
 
 
+def options_from_sql_config(
+    sql: dict, num_partitions: int = 1, bounds: Optional[tuple[int, int]] = None
+) -> dict[str, str]:
+    """Reference ``SQLConfig`` YAML (``pkg/source/sql.go:16-47``) → JDBC options.
+
+    ``dbTable.id.name`` (the keyset column, default ``id`` — sql.go:45) becomes
+    Spark's ``partitionColumn`` when ``bounds`` are known; without bounds the
+    scan is unpartitioned (the caller can still parallelize downstream).
+    """
+    driver = str(sql.get("driverName", "mysql") or "mysql")
+    url = f"jdbc:{driver}://{sql.get('endpoint', '')}/{sql.get('dbName', '')}"
+    if sql.get("urlQuery"):
+        url += "?" + str(sql["urlQuery"])
+    table = sql.get("dbTable") or {}
+    opts: dict[str, str] = {"url": url, "dbtable": str(table.get("name", ""))}
+    if table.get("query"):
+        opts["dbtable"] = f"({table['query']}) AS t"
+    for yk, sk in (("username", "user"), ("password", "password")):
+        if sql.get(yk) is not None:
+            opts[sk] = str(sql[yk])
+    if bounds is not None:
+        key = (table.get("id") or {}).get("name", "id")
+        opts.update(
+            partitionColumn=str(key),
+            lowerBound=str(bounds[0]),
+            upperBound=str(bounds[1]),
+            numPartitions=str(num_partitions),
+        )
+    return opts
+
+
 def read_records_jdbc(
     spark: SparkSession,
-    columns: Sequence[str],
+    columns: Optional[Sequence[str]] = None,
+    jdbc_options: Optional[dict] = None,
     **options: object,
 ) -> DataFrame:
-    """Read a JDBC table into the ``record: array<string>`` shape."""
+    """Read a JDBC table into the ``record: array<string>`` shape.
+
+    Pass either prebuilt ``jdbc_options`` (e.g. from
+    :func:`options_from_sql_config`) or the :func:`build_reader_options`
+    keyword surface. ``columns`` ordering defines the record positions
+    (``dbTable.fields``, sql.go:33); None keeps the table's column order.
+    """
     reader = spark.read.format("jdbc")
-    for k, v in build_reader_options(**options).items():  # type: ignore[arg-type]
+    opts = jdbc_options if jdbc_options is not None else build_reader_options(**options)  # type: ignore[arg-type]
+    for k, v in opts.items():
         reader = reader.option(k, v)
-    df = reader.load().select(*columns)
+    df = reader.load()
+    if columns:
+        df = df.select(*columns)
     return records_from_columns(df)

@@ -42,11 +42,11 @@ def test_word_shingles(spark):
 
 def test_ngram_jaccard_pairs(spark):
     pairs = {
-        (r.id_a, r.id_b): float(r.jaccard)
+        (r.id_a, r.id_b): r.jaccard_micro
         for r in ngram_jaccard_pairs(_df(spark), threshold=0.3).collect()
     }
-    assert (1, 4) in pairs and pairs[(1, 4)] == 1.0  # exact after normalization
-    assert (1, 2) in pairs and 0.4 < pairs[(1, 2)] < 0.8
+    assert (1, 4) in pairs and pairs[(1, 4)] == 1_000_000  # exact after normalization
+    assert (1, 2) in pairs and 400_000 < pairs[(1, 2)] < 800_000
     assert (2, 4) in pairs
     assert all(3 not in p and 5 not in p for p in pairs)
 

@@ -59,3 +59,28 @@ def test_is_unsigned_integer():
     assert not is_unsigned_integer("2020-01-11T19:28:23")
     assert not is_unsigned_integer("-1")
     assert not is_unsigned_integer("1.5")
+
+
+def test_exact_quote_column_end_to_end(spark):
+    """exact_quote renders via go_quote (pandas UDF): byte parity with
+    strconv.Quote on arbitrary non-printables the codegen fast path
+    passes through raw."""
+    from nebula_importer_spark.operators.mapping import node_values
+    from nebula_importer_spark.plans.specs import NodeIDSpec, NodeSpec, PropSpec
+    from tests.conftest import records_df
+
+    spec = NodeSpec(
+        name="t",
+        id=NodeIDSpec(type="INT", index=0),
+        props=[PropSpec("p", "STRING", 1, exact_quote=True)],
+    )
+    rows = [["1", "nul\x00byte"], ["2", "line\u2028sep"], ["3", "del\x7f"], ["4", "中国（　　）"]]
+    df = records_df(spark, rows)
+    got = {r.vid: r.p_p for r in node_values(df, spec).collect()}
+    assert got["1"] == '"nul\\x00byte"'
+    assert got["2"] == '"line\\u2028sep"'
+    assert got["3"] == '"del\\x7f"'
+    assert got["4"] == '"中国（\\u3000\\u3000）"'
+    # same strings through the fast path: C0 escapes only, exotics raw
+    for r in rows:
+        assert go_quote(r[1]).startswith('"')

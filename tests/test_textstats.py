@@ -35,10 +35,10 @@ def test_quality_scores_arithmetic(spark):
     rows = {r.doc_id: r for r in quality_scores(_df(spark)).collect()}
     r = rows[2]  # 8 tokens, the stopword list has none of them... 'und' not in it
     assert r.n_tokens == 8
-    # mean word len = (n_chars - 7) / 8
+    # mean word len = (n_chars - 7) / 8, in BIGINT micro-units
     n_chars = len(DOCS[1][1])
-    assert float(r.mean_word_len) == round((n_chars - 7) / 8, 6)
-    assert 0 <= float(r.quality_score) <= 1
+    assert r.mean_word_len_micro == int((n_chars - 7) / 8 * 1_000_000 + 0.5)
+    assert 0 <= r.quality_score_micro <= 1_000_000
 
 
 def test_lang_id_markers_and_tiebreak(spark):
