@@ -450,6 +450,15 @@ def q_kg_canonicalize_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonical_mapping(docs, pairs)
 
 
+def q_kg_canonicalize_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CC over MinHash-LSH pairs — the pipeline's actual scale path
+    (run.py feeds canonical_mapping from minhash_lsh_pairs, never the
+    all-pairs exact join), oracle-checked end-to-end."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.3)
+    return canonical_mapping(docs, pairs)
+
+
 def q_kg_skew_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase salted aggregation over the (hot-key) predicate column.
 
@@ -565,6 +574,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_link_alias": q_kg_link_alias,
     "kg_triples_docs": q_kg_triples_docs,
     "kg_canonicalize_cc": q_kg_canonicalize_cc,
+    "kg_canonicalize_lsh": q_kg_canonicalize_lsh,
     "kg_skew_twophase": q_kg_skew_twophase,
     "spans_roundtrip": q_spans_roundtrip,
     "spans_media_stats": q_spans_media_stats,
@@ -643,6 +653,20 @@ _BANDS = "\n  UNION ALL ".join(
     f"SELECT doc_id, {b} AS band, md5(mh{3*b} || '|' || mh{3*b+1} || '|' || mh{3*b+2}) AS digest FROM sig"
     for b in range(4)
 )
+
+# MinHash banding + verified LSH pairs (mirrors dedup.minhash_lsh_pairs with
+# portable=True); assumes _SHINGLES and _JACCARD_PAIRS CTEs in scope.
+_MH_CAND = f"""
+  sig AS (SELECT doc_id,
+{_MH}
+          FROM sh GROUP BY doc_id),
+  band AS ({_BANDS}),
+  cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM band a JOIN band b ON a.band = b.band AND a.digest = b.digest
+                                   AND a.doc_id < b.doc_id),
+  lshp AS (SELECT c.id_a, c.id_b, p.jaccard_micro
+           FROM cand c JOIN pairs p ON c.id_a = p.id_a AND c.id_b = p.id_b)
+"""
 
 _SIMHASH_BITS = ",\n".join(
     "         SUM(CAST(FLOOR((strpos('0123456789abcdef', substr(h, {pos}, 1)) - 1) / {den}) AS BIGINT) % 2) AS b{j}".format(
@@ -980,16 +1004,8 @@ ORACLES: dict[str, str] = {
     """,
     "dedup_ngram_jaccard": f"WITH {_SHINGLES}, {_JACCARD_PAIRS} SELECT id_a, id_b, jaccard_micro FROM pairs",
     "dedup_minhash_lsh": f"""
-      WITH {_SHINGLES}, {_JACCARD_PAIRS},
-      sig AS (SELECT doc_id,
-{_MH}
-              FROM sh GROUP BY doc_id),
-      band AS ({_BANDS}),
-      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-               FROM band a JOIN band b ON a.band = b.band AND a.digest = b.digest
-                                       AND a.doc_id < b.doc_id)
-      SELECT c.id_a, c.id_b, p.jaccard_micro
-      FROM cand c JOIN pairs p ON c.id_a = p.id_a AND c.id_b = p.id_b
+      WITH {_SHINGLES}, {_JACCARD_PAIRS}, {_MH_CAND}
+      SELECT id_a, id_b, jaccard_micro FROM lshp
     """,
     "dedup_simhash": f"""
       WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
@@ -1029,6 +1045,19 @@ ORACLES: dict[str, str] = {
       WITH RECURSIVE {_SHINGLES}, {_JACCARD_PAIRS},
       edges AS (SELECT id_a AS u, id_b AS v FROM pairs
                 UNION ALL SELECT id_b, id_a FROM pairs),
+      reach(id, r) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT reach.id, edges.v FROM reach JOIN edges ON reach.r = edges.u
+      ),
+      comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+      SELECT d.doc_id, COALESCE(comp.component, d.doc_id) AS canonical_id
+      FROM documents d LEFT JOIN comp ON d.doc_id = comp.id
+    """,
+    "kg_canonicalize_lsh": f"""
+      WITH RECURSIVE {_SHINGLES}, {_JACCARD_PAIRS}, {_MH_CAND},
+      edges AS (SELECT id_a AS u, id_b AS v FROM lshp
+                UNION ALL SELECT id_b, id_a FROM lshp),
       reach(id, r) AS (
         SELECT u, u FROM edges
         UNION

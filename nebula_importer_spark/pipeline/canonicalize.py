@@ -27,6 +27,7 @@ def connected_components(
     dst_col: str = "id_b",
     max_iterations: int = 25,
     checkpoint_every: int = 3,
+    require_convergence: bool = True,
 ) -> DataFrame:
     """Min-label connected components over an undirected edge list.
 
@@ -37,6 +38,13 @@ def connected_components(
     label in its closed neighborhood; converges in ≤ diameter rounds. For
     web-scale graphs swap in the star variants; for entity-dedup graphs
     (tiny components, small diameter) min-label is already optimal.
+
+    ``require_convergence`` (default ON) raises if ``max_iterations`` is
+    exhausted before the labels reach a fixpoint: partially-converged labels
+    are still *deterministic*, but they are not component minima, and a
+    silent cap-hit would break the resume contract's byte-identical claim
+    (components with diameter > max_iterations must be an explicit choice,
+    not an accident).
     """
     edges = (
         pairs.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
@@ -51,6 +59,7 @@ def connected_components(
         .persist()
     )
 
+    converged = False
     for i in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges["v"] == labels["id"])
@@ -85,9 +94,16 @@ def connected_components(
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
 
     edges.unpersist()
+    if require_convergence and not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iterations} "
+            "iterations (component diameter exceeds the cap); raise "
+            "max_iterations or switch algorithm='star'"
+        )
     return labels
 
 
@@ -105,6 +121,7 @@ def connected_components_star(
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iterations: int = 30,
+    require_convergence: bool = True,
 ) -> DataFrame:
     """Alternating large-star / small-star connected components.
 
@@ -131,6 +148,7 @@ def connected_components_star(
         .persist()
     )
 
+    fixpoint = False
     for i in range(max_iterations):
         # large-star
         mins = _neighborhood_min(edges)
@@ -170,8 +188,14 @@ def connected_components_star(
         edges.unpersist()
         edges = new_edges
         if converged:
+            fixpoint = True
             break
 
+    if require_convergence and not fixpoint:
+        raise RuntimeError(
+            f"connected_components_star did not reach a fixpoint within "
+            f"{max_iterations} rounds; raise max_iterations"
+        )
     # fixpoint is a star per component (plus mirror edges): every node's
     # minimum neighbor is the center; centers map to themselves
     labels = _neighborhood_min(edges).select(

@@ -69,6 +69,7 @@ class PipelineResult:
     stats: DataFrame
     lineage: Optional[DataFrame] = None
     timings: dict = field(default_factory=dict)
+    progress: list = field(default_factory=list)  # ProgressReporter rows
 
 
 def fixture_records(spans: DataFrame, delimiter: str = "|") -> DataFrame:
@@ -101,15 +102,23 @@ def run_pipeline(
     bucket_filter: Optional[Sequence[int]] = None,
     before_hooks: Sequence[str] = (),
     after_hooks: Sequence[str] = (),
+    stats_interval_sec: Optional[float] = None,
 ) -> PipelineResult:
     """Run the KG-construction pipeline over an interleaved corpus.
 
     ``bucket_filter`` restricts this wave to the given buckets (operational
     sharding); ``checkpoint`` additionally skips buckets already recorded.
     ``corpus`` must always be the FULL corpus — canonicalization is global.
+    ``stats_interval_sec`` (manager.statsInterval analog) turns on the live
+    progress reporter; its rows land in ``PipelineResult.progress``.
     """
     t0 = time.time()
     timings: dict[str, float] = {}
+    reporter = None
+    if stats_interval_sec is not None:
+        from nebula_importer_spark.pipeline.progress import ProgressReporter
+
+        reporter = ProgressReporter(spark, interval_sec=stats_interval_sec).start()
     # before-hooks: driver-side DDL before the run, the analog of the
     # reference's manager exec hooks (pkg/manager/hooks.go:10-22)
     for stmt in before_hooks:
@@ -226,7 +235,10 @@ def run_pipeline(
         spark.sql(stmt)
 
     timings["total"] = time.time() - t0
+    if reporter is not None:
+        reporter.stop()
     return PipelineResult(
         triples=triples, canonical=canon, stats=stats,
         lineage=lineage_rows, timings=timings,
+        progress=reporter.rows if reporter is not None else [],
     )
