@@ -33,11 +33,15 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_embedding_lsh",
     "ann_cosine_topk",
+    "ann_ivf_topk",
     "kg_triples_docs",
     "kg_canonicalize_cc",
+    "kg_canonicalize_lsh",
     "kg_skew_twophase",
     "spans_roundtrip",
+    "multimodal_features",
 ]
 
 

@@ -361,6 +361,18 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_cosine_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.45)
 
 
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed embedding near-dup — the scale path, oracle-checked
+    (the exact all-pairs variant above is the verifier baseline).
+    4 planes: at cos≈0.5 an 8-plane single-band bucket recalls almost
+    nothing, and a 0-row contract query would prove nothing."""
+    from nebula_importer_spark.operators.similarity import embedding_lsh_pairs
+
+    return embedding_lsh_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.45, planes=4
+    )
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return cosine_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
@@ -564,6 +576,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -713,11 +726,11 @@ def _hex2int_sql(h: str, start: int = 1) -> str:
 
 _HEX2INT = _hex2int_sql("h")
 
-_LSH_PLANES = 8
-
-_LSH_SKETCH = f"""
+def _lsh_sketch_sql(planes: int = 8) -> str:
+    """CTEs computing the ``planes``-bit sign-sketch bucket per vector."""
+    return f"""
   wsrc AS (SELECT i, d, md5('hp' || CAST(i AS VARCHAR) || ':' || CAST(d AS VARCHAR)) AS h
-           FROM (SELECT unnest(generate_series(0, {_LSH_PLANES - 1})) AS i),
+           FROM (SELECT unnest(generate_series(0, {planes - 1})) AS i),
                 (SELECT unnest(generate_series(0, 63)) AS d)),
   wlist AS (SELECT i, list(({_HEX2INT}) / 4294967296.0 - 0.5 ORDER BY d) AS wl
             FROM wsrc GROUP BY i),
@@ -730,6 +743,9 @@ _LSH_SKETCH = f"""
          FROM proj GROUP BY vec_id),
   skv AS (SELECT e.vec_id, e.embedding, s.bucket FROM embeddings e JOIN sk s USING (vec_id))
 """
+
+
+_LSH_SKETCH = _lsh_sketch_sql(8)
 
 _LSH_TOPK = f"""
   lsh_scored AS (SELECT b.vec_id AS probe_id, a.vec_id AS neighbor_id,
@@ -1028,6 +1044,13 @@ ORACLES: dict[str, str] = {
                         ROW_NUMBER() OVER (PARTITION BY id_b ORDER BY cos DESC, id_a ASC) AS rank
                  FROM s)
       SELECT probe_id, neighbor_id, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 5
+    """,
+    "dedup_embedding_lsh": f"""
+      WITH {_lsh_sketch_sql(4)}
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             CAST(FLOOR({_cos_sql('a.embedding', 'b.embedding')} * 10000.0 + 0.5) AS BIGINT) AS cos_e4
+      FROM skv a JOIN skv b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE {_cos_sql('a.embedding', 'b.embedding')} >= CAST(0.45 AS DOUBLE)
     """,
     "ann_lsh_topk": f"WITH {_LSH_SKETCH}, {_LSH_TOPK} SELECT probe_id, neighbor_id, rank FROM lsh_topk",
     "ann_ivf_topk": f"WITH {_IVF_TOPK} SELECT probe_id, neighbor_id, rank FROM ivf_topk",

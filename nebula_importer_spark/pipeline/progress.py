@@ -51,6 +51,12 @@ class ProgressReporter:
     def _sample(self) -> dict:
         active = self._tracker.getActiveStageIds()
         self._seen_stages.update(active)
+        # register every stage of active jobs too (incl. pending/just-done
+        # stages a tick would otherwise miss between polls)
+        for jid in self._tracker.getActiveJobsIds():
+            info = self._tracker.getJobInfo(jid)
+            if info is not None:
+                self._seen_stages.update(info.stageIds)
         done = total = 0
         for sid in sorted(self._seen_stages):
             info = self._tracker.getStageInfo(sid)

@@ -10,12 +10,15 @@ from nebula_importer_spark.pipeline.run import run_pipeline
 
 
 def test_progress_reporter_emits_rows(spark):
-    with ProgressReporter(spark, interval_sec=0.2) as rep:
-        spark.range(0, 2_000_000, numPartitions=64).selectExpr("sum(id)").collect()
-        time.sleep(0.5)  # guarantee at least one timer tick
+    def slow(it):
+        time.sleep(0.6)  # make each task span several reporter ticks
+        yield from it
+
+    with ProgressReporter(spark, interval_sec=0.1) as rep:
+        spark.sparkContext.parallelize(range(8), 4).mapPartitions(slow).count()
     assert rep.rows, "no stats rows captured"
     last = rep.rows[-1]
-    assert last["total_tasks"] >= 64
+    assert last["total_tasks"] >= 4
     assert 0 < last["completed_tasks"] <= last["total_tasks"]
     assert 0 <= last["pct"] <= 1
     assert last["tasks_per_sec"] > 0

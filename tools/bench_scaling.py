@@ -78,6 +78,11 @@ Per-query seconds at local[{n_high}]:
         for k, v in high["queries"].items():
             f.write(f"| {k} | {v} |\n")
         f.write(f"\nRaw JSON:\n\n    {json.dumps(low)}\n    {json.dumps(high)}\n")
+        # stable methodology + determinism sections survive each overwrite
+        appendix = os.path.join(REPO, "tools", "baseline_appendix.md")
+        if os.path.exists(appendix):
+            with open(appendix) as a:
+                f.write("\n" + a.read())
     print(json.dumps({"eff": round(eff, 3), "low": tl, "high": th}))
 
 
