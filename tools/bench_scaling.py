@@ -29,6 +29,13 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
         # that per-doc compute (not job scheduling) dominates
         SPARK_GRAFT_HEADLINE="0",
         SPARK_GRAFT_PIPE_DOCS=os.environ.get("SPARK_GRAFT_PIPE_DOCS", "20000"),
+        # heap scales with cores (2 GiB/core), like GC threads: a real
+        # N-core executor has N×per-core memory; a fixed heap starves the
+        # big leg (1 GiB/core at local[8] vs 4 at local[2]) and measures
+        # GC pressure, not the engine
+        SPARK_DRIVER_MEMORY=(
+            f"{int(os.environ.get('SPARK_BENCH_MEM_PER_CORE', '2')) * cpus}g"
+        ),
     )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
@@ -43,8 +50,16 @@ def main() -> None:
     n_high = int(sys.argv[2]) if len(sys.argv) > 2 else 32
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-    low = run_bench(n_low, sf_dir)
-    high = run_bench(n_high, sf_dir)
+    # best-of-R per leg, legs interleaved: this host shows transient noise
+    # episodes (one observed local[8] leg ran 38% slow with identical code);
+    # min wall per leg is the standard noisy-host estimator
+    repeats = int(os.environ.get("SPARK_BENCH_REPEATS", "2"))
+    lows, highs = [], []
+    for _ in range(repeats):
+        lows.append(run_bench(n_low, sf_dir))
+        highs.append(run_bench(n_high, sf_dir))
+    low = min(lows, key=lambda r: r["pipeline"]["wall_sec"])
+    high = min(highs, key=lambda r: r["pipeline"]["wall_sec"])
 
     tl = low["pipeline"]["triples_per_sec"]
     th = high["pipeline"]["triples_per_sec"]
@@ -77,7 +92,9 @@ Per-query seconds at local[{n_high}]:
 """)
         for k, v in high["queries"].items():
             f.write(f"| {k} | {v} |\n")
-        f.write(f"\nRaw JSON:\n\n    {json.dumps(low)}\n    {json.dumps(high)}\n")
+        f.write(f"\nRaw JSON (best of {repeats} interleaved runs per leg; all runs):\n\n")
+        for r in [*lows, *highs]:
+            f.write(f"    {json.dumps(r)}\n")
         # stable methodology + determinism sections survive each overwrite
         appendix = os.path.join(REPO, "tools", "baseline_appendix.md")
         if os.path.exists(appendix):
