@@ -105,7 +105,13 @@ def ngram_jaccard_pairs(
     overlap is stop-shingles — at a sane cap those are far below any useful
     threshold anyway.
     """
-    sh = word_shingles(df, n=n, text_col=text_col, id_col=id_col)
+    # one explicit exchange on the join key: the self-join sides AND the
+    # per-doc size aggregation all REUSE it (ReuseExchange), and it already
+    # satisfies the join's hash distribution — without it every consumer
+    # re-scans and re-shingles the corpus
+    sh = word_shingles(df, n=n, text_col=text_col, id_col=id_col).repartition(
+        F.col("shingle")
+    )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     if max_df is not None:
         rare = (
