@@ -196,7 +196,12 @@ def embedding_lsh_pairs(
     only approximation. Returns (id_a, id_b, cos_e4) like the exact variant.
     """
     sk = lsh_sign_sketch(F.col(vec_col).cast("array<double>"), planes)
-    s = df.select(F.col(id_col), F.col(vec_col), sk.alias("bucket"))
+    # explicit exchange on the bucket key: both self-join sides reuse ONE
+    # sketch pass (the sketch is `planes` higher-order-function projections —
+    # interpreted, so recomputing it per join side doubles the dominant cost)
+    s = df.select(F.col(id_col), F.col(vec_col), sk.alias("bucket")).repartition(
+        F.col("bucket")
+    )
     a = s.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket")
     b = s.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket")
     cos = cosine(F.col("va").cast("array<double>"), F.col("vb").cast("array<double>"))
