@@ -555,6 +555,53 @@ def q_spans_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming, oracle-checked: event-time windowed counts.
+
+    The events table is drained as a file STREAM (``availableNow`` — the
+    streaming equivalent of one cron run, streaming/ingest.py) through the
+    same windowed aggregation a live feed would use; ``complete`` output
+    mode emits every window, so the result equals the batch GROUP BY the
+    DuckDB oracle computes. Window starts are whole hours — timestamp
+    stringification is engine-identical at second precision.
+    """
+    import shutil as _shutil
+    import tempfile as _tempfile
+    import uuid as _uuid
+
+    from nebula_importer_spark.streaming.ingest import windowed_counts
+
+    src = f"{sf_dir}/events.parquet"
+    # the streaming file source lists a DIRECTORY of arriving files; the
+    # driver table is a single parquet file — stage it as the "arrived" file
+    stage = _tempfile.mkdtemp(prefix="stream_events_")
+    _shutil.copy(src, f"{stage}/part-0.parquet")
+    path = stage
+    schema = spark.read.parquet(src).schema
+    # watermarks require TIMESTAMP (with tz); the table stores NTZ — the
+    # session is pinned to UTC so the cast is wall-clock identity
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(path)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    counts = windowed_counts(stream, ts_col="ts", key_col="event_type", window="1 hour")
+    sink = f"stream_wc_{_uuid.uuid4().hex[:8]}"
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select(
+        F.col("window_start").cast("string").alias("window_start"),
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "map_vertex_insert": q_map_vertex_insert,
     "map_vertex_filter": q_map_vertex_filter,
@@ -589,6 +636,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_canonicalize_cc": q_kg_canonicalize_cc,
     "kg_canonicalize_lsh": q_kg_canonicalize_lsh,
     "kg_skew_twophase": q_kg_skew_twophase,
+    "stream_windowed_counts": q_stream_windowed_counts,
     "spans_roundtrip": q_spans_roundtrip,
     "spans_media_stats": q_spans_media_stats,
     "multimodal_features": q_multimodal_features,
@@ -1091,6 +1139,11 @@ ORACLES: dict[str, str] = {
       FROM documents d LEFT JOIN comp ON d.doc_id = comp.id
     """,
     "kg_skew_twophase": f"WITH {_DOC_TRIPLES} SELECT pred, COUNT(*) AS n FROM triples GROUP BY pred",
+    "stream_windowed_counts": """
+      SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start,
+             event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    """,
     "spans_roundtrip": f"""
       WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
       tok AS (SELECT doc_id, t, string_split(t, ' ') AS w FROM norm),
