@@ -42,6 +42,7 @@ HEADLINE = [
     "kg_skew_twophase",
     "spans_roundtrip",
     "multimodal_features",
+    "stream_windowed_counts",
 ]
 
 
