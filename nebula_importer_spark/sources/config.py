@@ -59,10 +59,13 @@ class _StrLoader(yaml.SafeLoader):
     """
 
 
-for _ch, _resolvers in list(_StrLoader.yaml_implicit_resolvers.items()):
-    _StrLoader.yaml_implicit_resolvers[_ch] = [
-        (t, r) for t, r in _resolvers if t != "tag:yaml.org,2002:timestamp"
-    ]
+# rebind a FRESH dict on the subclass: PyYAML stores yaml_implicit_resolvers
+# on the shared Resolver base, so item-assigning into the inherited mapping
+# would strip timestamp resolution from yaml.SafeLoader process-wide
+_StrLoader.yaml_implicit_resolvers = {
+    ch: [(t, r) for t, r in resolvers if t != "tag:yaml.org,2002:timestamp"]
+    for ch, resolvers in yaml.SafeLoader.yaml_implicit_resolvers.items()
+}
 
 
 @dataclass
