@@ -692,6 +692,22 @@ _SHINGLES = f"""
   sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id)
 """
 
+# Stop-shingle-capped variant mirroring the operator's DEFAULT_MAX_DF path
+# (dedup.py): shingles in > max_df docs are dropped BEFORE the self-join and
+# per-doc sizes come from the filtered relation (self-consistent pruned-set
+# Jaccard). At sf≤0.1 no shingle reaches the cap, so results equal the
+# uncapped ones — the point is that the capped plan is what's oracle-checked.
+_SHINGLES_CAPPED = f"""
+  norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+  tok AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+  sh0 AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+          FROM tok, unnest(generate_series(1, greatest(len(w)-2, 0))) u(i)),
+  sh AS (SELECT doc_id, s FROM (
+           SELECT doc_id, s, COUNT(*) OVER (PARTITION BY s) AS df FROM sh0)
+         WHERE df <= 10000),
+  sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id)
+"""
+
 _JACCARD_PAIRS = """
   inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
             FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -1066,7 +1082,7 @@ ORACLES: dict[str, str] = {
       canon AS (SELECT f, MIN(doc_id) AS canonical_id FROM fp GROUP BY f)
       SELECT fp.doc_id, canon.canonical_id FROM fp JOIN canon USING (f)
     """,
-    "dedup_ngram_jaccard": f"WITH {_SHINGLES}, {_JACCARD_PAIRS} SELECT id_a, id_b, jaccard_micro FROM pairs",
+    "dedup_ngram_jaccard": f"WITH {_SHINGLES_CAPPED}, {_JACCARD_PAIRS} SELECT id_a, id_b, jaccard_micro FROM pairs",
     "dedup_minhash_lsh": f"""
       WITH {_SHINGLES}, {_JACCARD_PAIRS}, {_MH_CAND}
       SELECT id_a, id_b, jaccard_micro FROM lshp
@@ -1113,7 +1129,7 @@ ORACLES: dict[str, str] = {
     "kg_link_alias": f"WITH {_LINKED} SELECT doc_id, entity, n FROM linked",
     "kg_triples_docs": f"WITH {_DOC_TRIPLES} SELECT subj, pred, obj FROM triples",
     "kg_canonicalize_cc": f"""
-      WITH RECURSIVE {_SHINGLES}, {_JACCARD_PAIRS},
+      WITH RECURSIVE {_SHINGLES_CAPPED}, {_JACCARD_PAIRS},
       edges AS (SELECT id_a AS u, id_b AS v FROM pairs
                 UNION ALL SELECT id_b, id_a FROM pairs),
       reach(id, r) AS (
