@@ -110,6 +110,35 @@ def test_ivf_plan_no_global_window_no_count(spark):
     assert "TakeOrderedAndProject" in phys
 
 
+def test_embedding_lsh_banding_widens_recall(spark):
+    """Banded sketch (2×4-bit) recalls a superset of the single 8-bit
+    bucket's pairs; every output pair is exact-cosine verified (⊆ exact)."""
+    import pytest
+
+    from nebula_importer_spark.operators.similarity import embedding_lsh_pairs
+
+    df = _df(spark)
+    exact = {
+        (r.id_a, r.id_b): r.cos_e4
+        for r in embedding_cosine_pairs(df, threshold=0.6).collect()
+    }
+    single = {
+        (r.id_a, r.id_b): r.cos_e4
+        for r in embedding_lsh_pairs(df, threshold=0.6, planes=8, bands=1).collect()
+    }
+    banded = {
+        (r.id_a, r.id_b): r.cos_e4
+        for r in embedding_lsh_pairs(df, threshold=0.6, planes=8, bands=2).collect()
+    }
+    assert set(single) <= set(banded)          # OR-ed bands only add recall
+    assert set(banded) <= set(exact)           # verified: no false positives
+    for k, v in banded.items():
+        assert exact[k] == v                   # verified cosine is the exact one
+    assert (0, 1) in banded                    # near-identical pair recalled
+    with pytest.raises(ValueError):
+        embedding_lsh_pairs(df, planes=8, bands=3)
+
+
 def test_ivf_assign_is_zero_shuffle(spark):
     """Scale guard (VERDICT r2 'What's wrong' #1): nearest-centroid
     assignment must be a broadcast argmin — a pure projection over the
