@@ -1,0 +1,190 @@
+"""One-call config-driven import — the reference CLI's contract in Spark.
+
+``nebula-importer --config x.yaml`` (``/root/reference/pkg/cmd/
+nebula-importer.go:46-130``) loads the YAML, starts the manager (before
+hooks), imports every source × tag/edge spec, waits, then fires after hooks
+and final stats. :func:`import_config` is that flow over this engine:
+
+* each source is read once (``sources.config.read_source``) and every tag /
+  edge spec mapped from the SAME scan — the reference's one-reader-many-
+  importers fan-out (``pkg/manager/manager.go:377-407``),
+* per-spec output is the rendered nGQL statement batches
+  (``operators.statements.assemble_statements``), optionally written to
+  ``output_path/<source_idx>_<kind>_<name>`` as parquet — the engine's
+  sink stand-in for the reference's client pool,
+* hooks are driver-side statements. The reference executes them against
+  NebulaGraph; here anything that parses as Spark SQL runs, anything else
+  (raw nGQL) is recorded and skipped — recorded, because a migrating user
+  must see WHAT would have run (``pkg/manager/hooks.go:10-22``),
+* ``manager.statsInterval`` turns on the live :class:`ProgressReporter`.
+
+The CLI face is ``python -m nebula_importer_spark --config x.yaml``
+(``__main__.py``), golden-tested against the reference's own e2e fixture
+``pkg/cmd/testdata/nebula-importer.v3.yaml`` + CSVs
+(``pkg/cmd/nebula-importer_test.go:42-67``).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import List, Optional, Union
+
+from pyspark.sql import DataFrame, SparkSession
+
+from nebula_importer_spark.operators.mapping import edge_values, node_values
+from nebula_importer_spark.operators.statements import assemble_statements
+from nebula_importer_spark.plans.specs import EdgeSpec, NodeSpec
+from nebula_importer_spark.sources.config import (
+    ImporterConfig,
+    SourceConfig,
+    load_config,
+    read_source,
+)
+
+
+@dataclass
+class HookResult:
+    statement: str
+    status: str  # "executed" | "skipped"
+    error: Optional[str] = None
+
+
+@dataclass
+class SpecResult:
+    """One tag/edge spec of one source, after mapping + batch assembly."""
+
+    source: str
+    kind: str  # "tag" | "edge"
+    name: str
+    n_records: int
+    n_statements: int
+    statements: DataFrame
+    output_path: Optional[str] = None
+
+
+@dataclass
+class ImportResult:
+    specs: List[SpecResult] = field(default_factory=list)
+    before_hooks: List[HookResult] = field(default_factory=list)
+    after_hooks: List[HookResult] = field(default_factory=list)
+    progress: list = field(default_factory=list)
+    wall_sec: float = 0.0
+
+    @property
+    def n_records(self) -> int:
+        return sum(s.n_records for s in self.specs)
+
+    @property
+    def n_statements(self) -> int:
+        return sum(s.n_statements for s in self.specs)
+
+
+def _exec_hooks(spark: SparkSession, stmts) -> List[HookResult]:
+    out: List[HookResult] = []
+    for stmt in stmts:
+        try:
+            spark.sql(stmt)
+            out.append(HookResult(stmt, "executed"))
+        except Exception as e:  # raw nGQL: record, don't die (hooks.go:16-21)
+            out.append(HookResult(stmt, "skipped", error=type(e).__name__))
+    return out
+
+
+def import_config(
+    spark: SparkSession,
+    cfg: Union[ImporterConfig, str],
+    base_dir: Optional[str] = None,
+    output_path: Optional[str] = None,
+    stats_interval_sec: Optional[float] = None,
+) -> ImportResult:
+    """Run every source × tag/edge spec of a reference-format config.
+
+    ``cfg`` may be an :class:`ImporterConfig` or a YAML path/text.
+    ``base_dir`` resolves relative source paths (the reference resolves
+    them against the config file's directory). ``output_path`` writes each
+    spec's statement batches as parquet; without it statements are still
+    fully materialized (counted) — the noop sink.
+
+    Scale notes: sources are independent jobs (at 100 TB each is its own
+    scan); within a source the record scan is shared by all of its specs
+    via one cached narrow relation, mirroring the reference's single reader
+    feeding N importers. Statement assembly is per-partition
+    (``mapInPandas``), so batches never centralize.
+    """
+    if isinstance(cfg, str):
+        cfg = load_config(cfg)
+    interval = (
+        cfg.stats_interval_sec if stats_interval_sec is None else stats_interval_sec
+    )
+    reporter = None
+    if interval:
+        from nebula_importer_spark.pipeline.progress import ProgressReporter
+
+        reporter = ProgressReporter(spark, interval_sec=interval).start()
+
+    t0 = time.time()
+    result = ImportResult()
+    try:
+        result.before_hooks = _exec_hooks(spark, cfg.before_hooks)
+        for i, src in enumerate(cfg.sources):
+            records = read_source(spark, src, base_dir=base_dir)
+            if len(src.nodes) + len(src.edges) > 1:
+                records = records.persist()  # one scan, many importers
+            try:
+                for kind, spec in [("tag", s) for s in src.nodes] + [
+                    ("edge", s) for s in src.edges
+                ]:
+                    result.specs.append(
+                        _run_spec(
+                            spark, records, src, i, kind, spec,
+                            batch=src.batch or cfg.batch,
+                            output_path=output_path,
+                        )
+                    )
+            finally:
+                if len(src.nodes) + len(src.edges) > 1:
+                    records.unpersist()
+        result.after_hooks = _exec_hooks(spark, cfg.after_hooks)
+    finally:
+        if reporter is not None:
+            reporter.stop()
+            result.progress = reporter.rows
+    result.wall_sec = time.time() - t0
+    return result
+
+
+def _run_spec(
+    spark: SparkSession,
+    records: DataFrame,
+    src: SourceConfig,
+    src_idx: int,
+    kind: str,
+    spec: Union[NodeSpec, EdgeSpec],
+    batch: int,
+    output_path: Optional[str],
+) -> SpecResult:
+    values = (
+        edge_values(records, spec)
+        if isinstance(spec, EdgeSpec)
+        else node_values(records, spec)
+    )
+    n_records = values.count()
+    stmts = assemble_statements(values, spec, batch=batch)
+    out = None
+    if output_path is not None:
+        out = f"{output_path}/src{src_idx}_{kind}_{spec.name}"
+        stmts.write.mode("overwrite").parquet(out)
+        stmts = spark.read.parquet(out)
+        n_statements = stmts.count()
+    else:
+        n_statements = stmts.count()
+    return SpecResult(
+        source=src.path or "sql",
+        kind=kind,
+        name=spec.name,
+        n_records=n_records,
+        n_statements=n_statements,
+        statements=stmts,
+        output_path=out,
+    )
