@@ -64,9 +64,13 @@ def main() -> None:
     from nebula_importer_spark.pipeline.run import run_pipeline
     from nebula_importer_spark.session import get_spark
 
+    # SPARK_GRAFT_MASTER overrides the master entirely — the executor-
+    # isolated scaling harness (tools/bench_cluster.py) passes
+    # local-cluster[n,c,m] so each leg runs real executor JVMs
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
     spark = get_spark(
         app_name="nebula-importer-spark-bench",
-        master=f"local[{cpus}]",
+        master=master,
         shuffle_partitions=max(cpus, 32),
     )
     spark.sparkContext.setLogLevel("ERROR")

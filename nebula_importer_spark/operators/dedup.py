@@ -267,14 +267,16 @@ def minhash_lsh_pairs(
         .dropDuplicates()
     )
     # join raw text first, shingle AFTER: the shingle build (the expensive
-    # per-row transform) runs only for matched candidate rows, and the small
-    # candidate side broadcasts so the corpus is scanned, never shuffled
+    # per-row transform) runs only for matched candidate rows. No broadcast
+    # HINT on purpose: AQE broadcasts the candidate side when its runtime
+    # size is small (the normal case — corpus scanned, never shuffled) but
+    # falls back to a shuffle join on a dup-heavy corpus where forcing the
+    # broadcast would OOM the driver.
     docs = df.select(F.col(id_col), F.col(text_col))
-    half = F.broadcast(cand).join(
-        docs.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("_ta")), "id_a"
-    )
     enriched = (
-        F.broadcast(half)
+        cand.join(
+            docs.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("_ta")), "id_a"
+        )
         .join(
             docs.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("_tb")), "id_b"
         )

@@ -55,4 +55,19 @@ def get_spark(
             "spark.driver.extraJavaOptions",
             f"-XX:ParallelGCThreads={max(2, n)} -XX:ConcGCThreads={max(1, n // 4)}",
         )
+    # local-cluster[n,c,m] (real executor JVMs): same fairness pinning for
+    # each c-core executor, and executor heap from the env the scaling
+    # harness sets (the worker-memory field in the master string is the
+    # worker's budget, not the executor's request)
+    mc = re.fullmatch(r"local-cluster\[(\d+),(\d+),(\d+)\]", resolved_master)
+    if mc:
+        c = int(mc.group(2))
+        builder = builder.config(
+            "spark.executor.extraJavaOptions",
+            f"-XX:ParallelGCThreads={max(2, c)} -XX:ConcGCThreads={max(1, c // 4)}",
+        )
+        if os.environ.get("SPARK_EXECUTOR_MEMORY"):
+            builder = builder.config(
+                "spark.executor.memory", os.environ["SPARK_EXECUTOR_MEMORY"]
+            )
     return builder.getOrCreate()
