@@ -66,6 +66,23 @@ def get_spark(
             "spark.executor.extraJavaOptions",
             f"-XX:ParallelGCThreads={max(2, c)} -XX:ConcGCThreads={max(1, c // 4)}",
         )
+        # Multi-executor scheduling fairness: with k executors each holding
+        # ~1/k of the map output, shuffle-reduce locality preferences
+        # (spark.shuffle.reduceLocality.enabled, 0.2 fraction threshold)
+        # make the scheduler stall up to spark.locality.wait (3s) per wave
+        # waiting for a slot on the "preferred" executor. Across an
+        # iterative pipeline's dozens of short stages that adds minutes of
+        # pure scheduler idle — none of which exists in single-executor
+        # mode, so it reads as (false) negative scaling. Locality is a
+        # disk-read optimization; local-cluster executors share one disk,
+        # and on a disaggregated-storage cluster (S3/remote shuffle) the
+        # standard setting is the same: don't wait.
+        builder = builder.config("spark.locality.wait", "0s")
+        if os.environ.get("SPARK_GRAFT_EVENTLOG"):
+            os.makedirs(os.environ["SPARK_GRAFT_EVENTLOG"], exist_ok=True)
+            builder = builder.config("spark.eventLog.enabled", "true").config(
+                "spark.eventLog.dir", os.environ["SPARK_GRAFT_EVENTLOG"]
+            )
         if os.environ.get("SPARK_EXECUTOR_MEMORY"):
             builder = builder.config(
                 "spark.executor.memory", os.environ["SPARK_EXECUTOR_MEMORY"]
