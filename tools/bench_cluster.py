@@ -64,6 +64,7 @@ def main() -> None:
     th = high["pipeline"]["triples_per_sec"]
     eff = (th / tl) / (n_high / n_low)
 
+    out_name = os.environ.get("SPARK_BENCH_OUT", "cluster.json")
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     payload = {
         "mode": "local-cluster (real executor JVMs)",
@@ -82,7 +83,7 @@ def main() -> None:
         "repeats": repeats,
         "all_runs": {"low": lows, "high": highs},
     }
-    with open(os.path.join(REPO, "BENCH", "cluster.json"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", out_name), "w") as f:
         json.dump(payload, f, indent=1)
     print(json.dumps({"eff": round(eff, 3), "low": tl, "high": th}))
 
