@@ -475,7 +475,7 @@ def q_kg_triples_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_kg_canonicalize_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(docs, threshold=0.3)
-    return canonical_mapping(docs, pairs)
+    return canonical_mapping(docs, pairs, pairs_distinct=True)
 
 
 def q_kg_canonicalize_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -484,7 +484,7 @@ def q_kg_canonicalize_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs exact join), oracle-checked end-to-end."""
     docs = _t(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs, threshold=0.3)
-    return canonical_mapping(docs, pairs)
+    return canonical_mapping(docs, pairs, pairs_distinct=True)
 
 
 def q_kg_skew_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -25,7 +25,6 @@ from typing import Optional
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 HEX = "0123456789abcdef"
 
@@ -114,9 +113,12 @@ def ngram_jaccard_pairs(
     With a cap, per-doc sizes are computed from the *filtered* shingle
     relation, so the reported jaccard_micro is the exact Jaccard of the
     stop-shingle-pruned sets (self-consistent — intersection and union use
-    the same universe), not a mixed estimate. The df count rides the same
-    shingle exchange as the self-join (partition-local window), so the cap
-    adds no shuffle.
+    the same universe), not a mixed estimate. The cap is applied as a
+    broadcast anti-join against the (tiny) stop-shingle list — shingles with
+    df > max_df — built by a map-side-combinable count over the same shingle
+    exchange. A partition-local window would compute the same df without a
+    new shuffle but forces a full sort of the exploded relation per consumer
+    (three of them below); the stop-list form streams.
     """
     # one explicit exchange on the join key: the self-join sides AND the
     # per-doc size aggregation all REUSE it (ReuseExchange), and it already
@@ -126,13 +128,13 @@ def ngram_jaccard_pairs(
         F.col("shingle")
     )
     if max_df is not None:
-        sh = (
-            sh.withColumn(
-                "_df", F.count("*").over(Window.partitionBy("shingle"))
-            )
-            .where(F.col("_df") <= max_df)
-            .drop("_df")
+        stop = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .where(F.col("_df") > max_df)
+            .select("shingle")
         )
+        sh = sh.join(F.broadcast(stop), "shingle", "left_anti")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")

@@ -28,6 +28,7 @@ def connected_components(
     max_iterations: int = 25,
     checkpoint_every: int = 3,
     require_convergence: bool = True,
+    pairs_distinct: bool = False,
 ) -> DataFrame:
     """Min-label connected components over an undirected edge list.
 
@@ -45,19 +46,30 @@ def connected_components(
     silent cap-hit would break the resume contract's byte-identical claim
     (components with diameter > max_iterations must be an explicit choice,
     not an accident).
+
+    ``pairs_distinct=True`` asserts the caller's edge list is already
+    duplicate-free with ``src < dst`` per row (every pair generator in this
+    package guarantees it) and skips a full edge-shuffle ``dropDuplicates``
+    — the src<dst invariant makes the two union legs disjoint.
+
+    Each round costs one edge-label join + one aggregation; the convergence
+    probe reads the round's own persisted labels (a ``_chg`` flag computed
+    in the label update itself), so probing every round is cache-local —
+    no extra join, and the loop stops at the earliest fixpoint round.
     """
-    edges = (
-        pairs.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
-        .union(pairs.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v")))
-        .dropDuplicates()
-        .persist()
+    edges = pairs.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v")).union(
+        pairs.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v"))
     )
-    labels = (
+    if not pairs_distinct:
+        edges = edges.dropDuplicates()
+    edges = edges.persist()
+    store = (
         edges.select(F.col("u").alias("id"))
         .dropDuplicates()
         .withColumn("component", F.col("id"))
         .persist()
     )
+    labels = store
 
     converged = False
     for i in range(max_iterations):
@@ -66,33 +78,26 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("component").alias("nbr_min"))
         )
+        new_component = F.least(
+            F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+        )
         new_labels = (
             labels.join(neighbor_min, labels["id"] == neighbor_min["u"], "left")
             .select(
                 "id",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
-                ).alias("component"),
+                new_component.alias("component"),
+                (new_component < F.col("component")).alias("_chg"),
             )
         )
         if (i + 1) % checkpoint_every == 0:
             new_labels = new_labels.localCheckpoint(eager=True)
         else:
             new_labels = new_labels.persist()
-        # convergence probe every other round: halves the driver-side job
-        # count (each probe is a full join) at the cost of ≤1 extra round
-        if i % 2 == 1 or i == max_iterations - 1:
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "id")
-                .where(F.col("n.component") != F.col("o.component"))
-                .limit(1)
-                .count()
-            )
-        else:
-            changed = 1
-        labels.unpersist()
-        labels = new_labels
+        # probe the round's own cached output — no old-vs-new join
+        changed = new_labels.where(F.col("_chg")).limit(1).count()
+        store.unpersist()
+        store = new_labels
+        labels = new_labels.drop("_chg")
         if changed == 0:
             converged = True
             break
@@ -122,6 +127,7 @@ def connected_components_star(
     dst_col: str = "id_b",
     max_iterations: int = 30,
     require_convergence: bool = True,
+    pairs_distinct: bool = False,
 ) -> DataFrame:
     """Alternating large-star / small-star connected components.
 
@@ -139,14 +145,16 @@ def connected_components_star(
 
     Returns (id, component) with component = the component's minimum id.
     """
-    # undirected → directed both ways, deduped
+    # undirected → directed both ways, deduped (skippable when the caller's
+    # pairs are already distinct with src < dst — the package generators are)
     edges = (
         pairs.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
         .union(pairs.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v")))
         .where(F.col("u") != F.col("v"))
-        .dropDuplicates()
-        .persist()
     )
+    if not pairs_distinct:
+        edges = edges.dropDuplicates()
+    edges = edges.persist()
 
     fixpoint = False
     for i in range(max_iterations):
@@ -216,15 +224,18 @@ def canonical_mapping(
     src_col: str = "id_a",
     dst_col: str = "id_b",
     algorithm: str = "min_label",
+    pairs_distinct: bool = False,
 ) -> DataFrame:
     """(id, canonical_id) for ALL ids: component-min for linked ids, self else.
 
     ``algorithm``: "min_label" (O(diameter) rounds — optimal for entity-dedup
     graphs, whose components are tiny) or "star" (large-star/small-star,
     O(log² n) rounds — the choice for huge or high-diameter graphs).
+    ``pairs_distinct``: see :func:`connected_components` — skips the edge
+    dedup shuffle for generator-produced pair lists.
     """
     cc = connected_components_star if algorithm == "star" else connected_components
-    comp = cc(pairs, src_col, dst_col)
+    comp = cc(pairs, src_col, dst_col, pairs_distinct=pairs_distinct)
     return (
         ids.select(F.col(id_col))
         .dropDuplicates()

@@ -144,7 +144,7 @@ def run_pipeline(
         flat, threshold=dedup_threshold, text_col="text", id_col="doc_id",
         portable=False,  # internal only → xxhash64 fast path
     )
-    canon = canonical_mapping(corpus.select("doc_id"), pairs).persist()
+    canon = canonical_mapping(corpus.select("doc_id"), pairs, pairs_distinct=True).persist()
     timings["canonicalize"] = time.time() - t0
 
     # per-document work: restrict to pending buckets (resume + wave filter)
