@@ -40,6 +40,9 @@ HEADLINE = [
     "kg_canonicalize_cc",
     "kg_canonicalize_lsh",
     "kg_skew_twophase",
+    "kg_pagerank",
+    "text_topk_ngrams",
+    "cluster_kmeans",
     "spans_roundtrip",
     "multimodal_features",
     "stream_windowed_counts",

@@ -629,6 +629,41 @@ def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point integer PageRank over the near-dup doc graph.
+
+    Edges are the capped exact-Jaccard pairs (both directions); nodes are
+    ALL documents (isolated docs settle at the base rank). Integer
+    micro-unit arithmetic makes the iteration deterministic under any
+    partitioning and exactly replicable in the DuckDB oracle.
+    """
+    from nebula_importer_spark.operators.graph import pagerank
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.3)
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    pr = pagerank(
+        edges, nodes=docs.select(F.col("doc_id").alias("id")), iterations=5
+    )
+    return pr.select(F.col("id").alias("doc_id"), "rank_mu")
+
+
+def q_text_topk_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus bigrams: combinable count + TakeOrderedAndProject."""
+    from nebula_importer_spark.operators.textstats import topk_ngrams
+
+    return topk_ngrams(_t(spark, sf_dir, "documents"), n=2, k=20)
+
+
+def q_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic integer k-means assignment (k=8, one Lloyd refinement)."""
+    from nebula_importer_spark.operators.clustering import kmeans_assign
+
+    return kmeans_assign(_t(spark, sf_dir, "embeddings"), k=8, refinements=1)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "map_vertex_insert": q_map_vertex_insert,
     "map_vertex_filter": q_map_vertex_filter,
@@ -663,6 +698,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_canonicalize_cc": q_kg_canonicalize_cc,
     "kg_canonicalize_lsh": q_kg_canonicalize_lsh,
     "kg_skew_twophase": q_kg_skew_twophase,
+    "kg_pagerank": q_kg_pagerank,
+    "text_topk_ngrams": q_text_topk_ngrams,
+    "cluster_kmeans": q_cluster_kmeans,
     "stream_windowed_counts": q_stream_windowed_counts,
     "spans_roundtrip": q_spans_roundtrip,
     "spans_media_stats": q_spans_media_stats,
@@ -959,6 +997,76 @@ _EVENTS_REC = """
   FROM events
 """
 
+# --- fixed-point PageRank replicated in SQL (mirrors graph.pagerank: all
+# BIGINT math, Spark `div` == DuckDB `//` truncation toward zero) ----------
+
+def _pagerank_sql(iterations: int = 5, damping_pct: int = 85) -> str:
+    """CTE chain pr0..pr{iterations} over the capped-Jaccard pair CTE
+    (`pairs` must be in scope); one (sum, rank) CTE pair per iteration."""
+    base = (100 - damping_pct) * 1_000_000 // 100
+    ctes = [
+        """
+  pr_edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+               UNION ALL SELECT id_b, id_a FROM pairs),
+  pr_deg AS (SELECT src, COUNT(*) AS out_deg FROM pr_edges GROUP BY src),
+  pr_nodes AS (SELECT doc_id AS id FROM documents),
+  pr0 AS (SELECT id, CAST(1000000 AS BIGINT) AS rank_mu FROM pr_nodes)"""
+    ]
+    for t in range(iterations):
+        ctes.append(
+            f"""
+  prs{t} AS (SELECT e.dst, SUM(r.rank_mu // d.out_deg) AS s
+             FROM pr_edges e JOIN pr_deg d ON e.src = d.src
+             JOIN pr{t} r ON e.src = r.id GROUP BY e.dst),
+  pr{t + 1} AS (SELECT n.id,
+                CAST({base} + ({damping_pct} * COALESCE(s.s, 0)) // 100 AS BIGINT) AS rank_mu
+                FROM pr_nodes n LEFT JOIN prs{t} s ON n.id = s.dst)"""
+        )
+    return ",".join(ctes)
+
+
+# --- integer k-means replicated in SQL (mirrors clustering.kmeans_assign) --
+
+def _kmeans_sql(k: int = 8, refinements: int = 1) -> str:
+    """CTEs km_vecs/km_cent{r}/km_asg{r}; final assignment = km_asg{refinements}."""
+
+    def dist(c: str) -> str:
+        return (
+            "list_sum(list_transform(range(1, len(v.v) + 1), "
+            f"i -> (v.v[i] - {c}.cv[i]) * (v.v[i] - {c}.cv[i])))"
+        )
+
+    def asg(r: int) -> str:
+        return f"""
+  km_asg{r} AS (SELECT vec_id, cid FROM (
+      SELECT v.vec_id, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                ORDER BY {dist('c')} ASC, c.cid ASC) AS rr
+      FROM km_vecs v, km_cent{r} c) WHERE rr = 1)"""
+
+    ctes = [
+        f"""
+  km_vecs AS (SELECT vec_id,
+              list_transform(embedding,
+                x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0 + 0.5) AS BIGINT)) AS v
+              FROM embeddings),
+  km_dims AS (SELECT unnest(generate_series(1, (SELECT MAX(len(v)) FROM km_vecs))) AS d),
+  km_cent0 AS (SELECT vec_id AS cid, v AS cv FROM km_vecs
+               ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {k})"""
+    ]
+    for r in range(refinements):
+        ctes.append(asg(r))
+        ctes.append(
+            f"""
+  km_cent{r + 1} AS (SELECT cid, list(cv ORDER BY d) AS cv FROM (
+      SELECT a.cid, dm.d, CAST(SUM(v.v[dm.d]) // COUNT(*) AS BIGINT) AS cv
+      FROM km_asg{r} a JOIN km_vecs v USING (vec_id), km_dims dm
+      GROUP BY a.cid, dm.d) GROUP BY cid)"""
+        )
+    ctes.append(asg(refinements))
+    return ",".join(ctes)
+
+
 ORACLES: dict[str, str] = {
     "map_vertex_insert": f"WITH rec AS ({_CUSTOMER_REC}) {_CUSTOMER_TRIPLES}",
     "map_vertex_filter": (
@@ -1191,6 +1299,22 @@ ORACLES: dict[str, str] = {
       FROM documents d LEFT JOIN comp ON d.doc_id = comp.id
     """,
     "kg_skew_twophase": f"WITH {_DOC_TRIPLES} SELECT pred, COUNT(*) AS n FROM triples GROUP BY pred",
+    "kg_pagerank": f"""
+      WITH {_SHINGLES_CAPPED}, {_JACCARD_PAIRS}, {_pagerank_sql(5, 85)}
+      SELECT id AS doc_id, rank_mu FROM pr5
+    """,
+    "text_topk_ngrams": f"""
+      WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+      tok AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+      ng AS (SELECT w[i] || ' ' || w[i+1] AS ngram
+             FROM tok, unnest(generate_series(1, greatest(len(w) - 1, 0))) u(i))
+      SELECT ngram, COUNT(*) AS n FROM ng GROUP BY ngram
+      ORDER BY n DESC, ngram ASC LIMIT 20
+    """,
+    "cluster_kmeans": f"""
+      WITH {_kmeans_sql(8, 1)}
+      SELECT vec_id, cid AS cluster_id FROM km_asg1
+    """,
     "stream_windowed_counts": """
       -- append mode emits a window only once the watermark (global max
       -- event time − 2 min) passes its END; trailing open windows stay in

@@ -119,6 +119,41 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     )
 
 
+def topk_ngrams(
+    df: DataFrame, n: int = 2, k: int = 20, text_col: str = "text"
+) -> DataFrame:
+    """Top-k word n-grams by corpus frequency → (ngram, n) rows.
+
+    The LM-corpus staple (vocabulary/boilerplate inspection). Counts carry
+    multiplicity — this is term frequency, unlike the dedup shingles which
+    are per-doc distinct. Ordered by (count desc, ngram asc) so the top-k
+    cut is deterministic under ties.
+
+    Scale notes: the count is one map-side-combinable aggregation (hash
+    partial per task — a hot n-gram contributes ONE row per task to the
+    shuffle, so skew needs no salting), and the top-k compiles to
+    TakeOrderedAndProject: each partition keeps its local k, the driver
+    merges k × partitions tiny rows — no global sort.
+    """
+    toks = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " "
+    )
+    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), count),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    # count=0 → sequence(1,0) counts DOWN; guard to an empty array
+    grams = F.when(count > 0, grams).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("ngram").asc())
+        .limit(k)
+    )
+
+
 def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Document fingerprint: md5 over whitespace-normalized lowercase text.
 

@@ -29,6 +29,9 @@ SUBSET = [
     "dedup_simhash",
     "kg_skew_twophase",
     "kg_canonicalize_lsh",
+    "kg_pagerank",
+    "text_topk_ngrams",
+    "cluster_kmeans",
     "spans_roundtrip",
 ]
 

@@ -56,3 +56,27 @@ def test_fingerprint_is_md5_of_normalized(spark):
     rows = {r.doc_id: r.fingerprint for r in fingerprints(df).collect()}
     want = hashlib.md5(b"hello world").hexdigest()
     assert rows[1] == want and rows[2] == want
+
+
+def test_topk_ngrams_counts_and_tiebreak(spark):
+    from nebula_importer_spark.operators.textstats import topk_ngrams
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b c"),   # bigrams: a b, b a, a b, b c
+            (2, "a b"),          # a b
+            (3, "z"),            # too short: none
+            (4, ""),             # empty: none
+        ],
+        "doc_id long, text string",
+    )
+    got = [(r.ngram, r.n) for r in topk_ngrams(df, n=2, k=3).collect()]
+    assert got == [("a b", 3), ("b a", 1), ("b c", 1)]  # ties → lexicographic
+
+
+def test_topk_ngrams_plan_is_take_ordered(spark):
+    from nebula_importer_spark.operators.textstats import topk_ngrams
+
+    df = spark.createDataFrame([(1, "x y z")], "doc_id long, text string")
+    plan = topk_ngrams(df)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # local top-k merge, no global sort
