@@ -12,6 +12,12 @@ sized to the scale factor. Prints ONE JSON line:
 
 Scaling-efficiency evidence (N vs 4N parallelism) is produced by
 ``tools/bench_scaling.py`` which invokes this file at two core counts.
+
+Per-query time is the min of ``$SPARK_GRAFT_REPEATS`` (default 2)
+back-to-back executions after one synthetic warm-up job: this host shows
+3× single-shot swings on identical code (external noise episodes), and the
+min-of-legs is the standard way to report engine cost rather than host
+weather. The scaling harnesses pin REPEATS=1 and interleave their own legs.
 """
 
 from __future__ import annotations
@@ -78,13 +84,33 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    from pyspark.sql import functions as F
+
+    # one synthetic job before timing: spins up executor threads, Python
+    # workers, and the shuffle machinery so the first measured query reports
+    # engine cost, not JVM/codegen cold start. Touches NO benchmark data.
+    spark.range(0, 1_000_000, numPartitions=4).repartition(
+        max(cpus, 32)
+    ).groupBy((F.col("id") % 97).alias("k")).count().write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    # per-query time = min over SPARK_GRAFT_REPEATS (default 2) back-to-back
+    # executions. This host shows 3× single-shot swings on identical code
+    # (external noise episodes — see BENCH/BASELINE.md methodology); the min
+    # of two legs reports the engine's cost, not the host's worst moment.
+    repeats = int(os.environ.get("SPARK_GRAFT_REPEATS", "2"))
     timings: dict[str, float] = {}
     if os.environ.get("SPARK_GRAFT_HEADLINE", "1") != "0":
         for name in HEADLINE:
             fn = QUERIES[name]
-            t0 = time.time()
-            _force(fn(spark, sf_dir))
-            timings[name] = round(time.time() - t0, 3)
+            best = None
+            for _ in range(repeats):
+                t0 = time.time()
+                _force(fn(spark, sf_dir))
+                leg = time.time() - t0
+                best = leg if best is None else min(best, leg)
+            timings[name] = round(best, 3)
 
     # flagship pipeline throughput on a corpus sized to the scale factor;
     # SPARK_GRAFT_PIPE_DOCS overrides (the scaling harness uses a larger
@@ -106,10 +132,13 @@ def main() -> None:
             partitions=max(cpus, 8),
         ).write.mode("overwrite").parquet(f"{tmp}/corpus")
         corpus = spark.read.parquet(f"{tmp}/corpus")
-        t0 = time.time()
-        result = run_pipeline(spark, corpus, fixture_node_specs=[person_spec()])
-        n_triples = result.triples.count()
-        wall = time.time() - t0
+        wall = None
+        for _ in range(repeats):
+            t0 = time.time()
+            result = run_pipeline(spark, corpus, fixture_node_specs=[person_spec()])
+            n_triples = result.triples.count()
+            leg = time.time() - t0
+            wall = leg if wall is None else min(wall, leg)
         timings["kg_pipeline"] = round(wall, 3)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

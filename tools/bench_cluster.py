@@ -35,6 +35,7 @@ def run_leg(n_exec: int, cores: int, mem_per_core_gb: int, sf_dir: str) -> dict:
         SPARK_DRIVER_MEMORY="8g",
         SPARK_GRAFT_SF_DIR=sf_dir,
         SPARK_GRAFT_HEADLINE="0",
+        SPARK_GRAFT_REPEATS="1",  # the harness interleaves its own best-of-N legs
         SPARK_GRAFT_PIPE_DOCS=os.environ.get("SPARK_GRAFT_PIPE_DOCS", "400000"),
     )
     out = subprocess.run(

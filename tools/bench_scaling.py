@@ -28,6 +28,7 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
         # scaling runs measure the pipeline only, on a corpus big enough
         # that per-doc compute (not job scheduling) dominates
         SPARK_GRAFT_HEADLINE="0",
+        SPARK_GRAFT_REPEATS="1",  # the harness interleaves its own best-of-N legs
         SPARK_GRAFT_PIPE_DOCS=os.environ.get("SPARK_GRAFT_PIPE_DOCS", "20000"),
         # heap scales with cores (2 GiB/core), like GC threads: a real
         # N-core executor has N×per-core memory; a fixed heap starves the
