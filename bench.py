@@ -52,6 +52,7 @@ HEADLINE = [
     "spans_roundtrip",
     "multimodal_features",
     "stream_windowed_counts",
+    "stream_sessions",
 ]
 
 

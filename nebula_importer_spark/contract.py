@@ -629,6 +629,60 @@ def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator, FULLY oracle-checked.
+
+    Drains the events table as a file stream through the
+    ``applyInPandasWithState`` gap-sessionizer (streaming/stateful.py): per
+    user, sessions break where consecutive event times are > 8h apart.
+    Exact-gap segmentation makes the replayed-table result identical to the
+    batch definition (lag/cumsum in SQL), so the one genuinely non-SQL
+    operator class in this engine — custom keyed state — gets a real
+    DuckDB oracle instead of a rows-only check. With a 0-second watermark
+    delay the final watermark is the global max event time; each user's
+    trailing open session (end + gap ≥ max ts) stays in state unemitted,
+    and the oracle applies the same cutoff.
+    """
+    import atexit as _atexit
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from nebula_importer_spark.streaming.ingest import start_parquet_sink
+    from nebula_importer_spark.streaming.stateful import sessionize
+
+    src = f"{sf_dir}/events.parquet"
+    stage = _tempfile.mkdtemp(prefix="stream_sess_in_")
+    out = _tempfile.mkdtemp(prefix="stream_sess_out_")
+    _atexit.register(_shutil.rmtree, out, ignore_errors=True)
+    try:
+        _shutil.copy(src, f"{stage}/part-0.parquet")
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(stage)
+            .select(
+                F.col("user_id").cast("string").alias("key"),
+                F.col("ts").cast("timestamp").alias("ts"),
+            )
+            .withWatermark("ts", "0 seconds")
+        )
+        sessions = sessionize(stream, gap_seconds=8 * 3600)
+        q = start_parquet_sink(
+            sessions, path=f"{out}/table", checkpoint=f"{out}/ckpt"
+        )
+        q.awaitTermination()
+    finally:
+        _shutil.rmtree(stage, ignore_errors=True)
+    # integer boundary: epoch-ms BIGINT (the operator's own state values —
+    # it truncates event time to ms), never stringified timestamps
+    return spark.read.parquet(f"{out}/table").select(
+        F.col("key").cast("long").alias("user_id"),
+        F.unix_millis("session_start").alias("start_ms"),
+        F.unix_millis("session_end").alias("end_ms"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
 def q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-point integer PageRank over the near-dup doc graph.
 
@@ -702,6 +756,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_topk_ngrams": q_text_topk_ngrams,
     "cluster_kmeans": q_cluster_kmeans,
     "stream_windowed_counts": q_stream_windowed_counts,
+    "stream_sessions": q_stream_sessions,
     "spans_roundtrip": q_spans_roundtrip,
     "spans_media_stats": q_spans_media_stats,
     "multimodal_features": q_multimodal_features,
@@ -1302,6 +1357,27 @@ ORACLES: dict[str, str] = {
     "kg_pagerank": f"""
       WITH {_SHINGLES_CAPPED}, {_JACCARD_PAIRS}, {_pagerank_sql(5, 85)}
       SELECT id AS doc_id, rank_mu FROM pr5
+    """,
+    "stream_sessions": """
+      -- exact replica of the stateful gap-sessionizer: ms-truncated event
+      -- times (epoch_us // 1000 == the operator's int64-ns // 1e6), break
+      -- where the per-user gap exceeds 8h, and the same final-watermark
+      -- cutoff (watermark delay 0s -> wm = global max event ms; a user's
+      -- trailing session with end + gap >= wm stays in state, unemitted)
+      WITH e AS (SELECT user_id, epoch_us(ts) // 1000 AS ms FROM events),
+      o AS (SELECT user_id, ms,
+                   CASE WHEN ms - LAG(ms) OVER (PARTITION BY user_id ORDER BY ms)
+                             > 28800000 THEN 1 ELSE 0 END AS brk
+            FROM e),
+      s AS (SELECT user_id, ms,
+                   SUM(brk) OVER (PARTITION BY user_id ORDER BY ms
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+            FROM o),
+      g AS (SELECT user_id, MIN(ms) AS start_ms, MAX(ms) AS end_ms,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM s GROUP BY user_id, sid)
+      SELECT user_id, start_ms, end_ms, n_events FROM g
+      WHERE end_ms + 28800000 < (SELECT MAX(ms) FROM e)
     """,
     "text_topk_ngrams": f"""
       WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),

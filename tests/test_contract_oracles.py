@@ -32,6 +32,7 @@ SUBSET = [
     "kg_pagerank",
     "text_topk_ngrams",
     "cluster_kmeans",
+    "stream_sessions",
     "spans_roundtrip",
 ]
 
