@@ -77,21 +77,22 @@ def pagerank(
     a node needs ~9×10¹² incoming full-rank edges to overflow BIGINT.
     """
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-    if nodes is None:
-        node_ids = (
-            e.select(F.col("src").alias("id"))
-            .union(e.select(F.col("dst").alias("id")))
-            .dropDuplicates()
-        )
-    else:
-        node_ids = nodes.select(F.col(id_col).alias("id")).dropDuplicates()
-    node_ids = node_ids.persist()
-
     deg = out_degrees(e)
     # one exchange, reused every iteration: edges carry their source degree
     edges_deg = e.join(deg, e["src"] == deg["id"]).select(
         "src", "dst", "out_deg"
     ).persist()
+    if nodes is None:
+        # derive from the CACHED relation — an expensive upstream edge
+        # generator (e.g. a near-dup pair join) must not execute twice
+        node_ids = (
+            edges_deg.select(F.col("src").alias("id"))
+            .union(edges_deg.select(F.col("dst").alias("id")))
+            .dropDuplicates()
+        )
+    else:
+        node_ids = nodes.select(F.col(id_col).alias("id")).dropDuplicates()
+    node_ids = node_ids.persist()
 
     base = (100 - damping_pct) * RANK_ONE // 100
     ranks = node_ids.withColumn("rank_mu", F.lit(RANK_ONE).cast("long"))

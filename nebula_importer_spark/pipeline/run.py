@@ -213,23 +213,26 @@ def run_pipeline(
     for p in parts[1:]:
         attributed = attributed.unionByName(p)
 
-    # per-bucket dedup: each bucket's content depends only on its docs +
-    # the global canon, so waves/retries reproduce identical partitions
-    bucketed = with_bucket(attributed, n_buckets, id_col="src_doc").dropDuplicates(
-        ["bucket", *TRIPLE_KEY]
-    )
-
-    triples = bucketed.dropDuplicates(TRIPLE_KEY).select(*TRIPLE_KEY)
-    stats = predicate_stats(triples)
-
     lineage_rows = None
     if output_path is not None:
+        # per-bucket dedup: each bucket's content depends only on its docs +
+        # the global canon, so waves/retries reproduce identical partitions
+        bucketed = with_bucket(attributed, n_buckets, id_col="src_doc").dropDuplicates(
+            ["bucket", *TRIPLE_KEY]
+        )
+        triples = bucketed.dropDuplicates(TRIPLE_KEY).select(*TRIPLE_KEY)
         write_partitioned(bucketed, output_path)
         wall = time.time() - t0
         if checkpoint is not None:
             lineage_rows = checkpoint.record(
                 bucketed, run_id=uuid.uuid4().hex, wall_sec=wall, doc_col="src_doc"
             )
+    else:
+        # no write → no idempotent-partition contract to honor: one global
+        # dedup instead of the bucket-keyed + global pair (a full shuffle
+        # of the triple relation saved)
+        triples = attributed.dropDuplicates(TRIPLE_KEY).select(*TRIPLE_KEY)
+    stats = predicate_stats(triples)
 
     for stmt in after_hooks:
         spark.sql(stmt)

@@ -119,3 +119,43 @@ def test_sessionize_stateful(spark, tmp_path):
     assert str(rows["u1"].session_start).startswith("2024-01-01 00:00:00")
     assert str(rows["u1"].session_end).startswith("2024-01-01 00:01:00")
     assert rows["u2"].n_events == 1
+
+
+def test_sessionize_splits_in_batch_gaps(spark, tmp_path):
+    """A single batch with a > gap hole per key yields separate sessions:
+    the earlier one closes by in-batch evidence, the later one by timeout."""
+    from nebula_importer_spark.streaming.stateful import sessionize
+    from pyspark.sql import types as T
+
+    src = tmp_path / "sess2"
+    src.mkdir()
+    (src / "a.csv").write_text(
+        "u1,2024-01-01 00:00:00\n"
+        "u1,2024-01-01 00:01:00\n"
+        "u1,2024-01-01 01:00:00\n"   # > 300s after the burst: new session
+        "u9,2024-01-01 09:00:00\n"   # advances the watermark past u1's timeout
+    )
+    schema = T.StructType(
+        [T.StructField("key", T.StringType()), T.StructField("ts", T.TimestampType())]
+    )
+    stream = spark.readStream.schema(schema).csv(str(src)).withWatermark("ts", "1 second")
+    sessions = sessionize(stream, gap_seconds=300)
+    out, ckpt = str(tmp_path / "out2"), str(tmp_path / "ck2")
+    q = (
+        sessions.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    u1 = sorted(
+        (str(r.session_start), str(r.session_end), r.n_events)
+        for r in spark.read.parquet(out).collect()
+        if r.key == "u1"
+    )
+    assert u1 == [
+        ("2024-01-01 00:00:00", "2024-01-01 00:01:00", 2),
+        ("2024-01-01 01:00:00", "2024-01-01 01:00:00", 1),
+    ]
