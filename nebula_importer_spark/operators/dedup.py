@@ -192,6 +192,7 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     portable: bool = True,
+    carry_sets: bool = False,
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding + exact Jaccard verification.
 
@@ -211,15 +212,27 @@ def minhash_lsh_pairs(
     (round 1 paid an extra full shuffle for distinct). Hashing stays in the
     codegen'd projection over exploded rows — higher-order functions over the
     per-row array would run interpreted and re-evaluate the shingle build per
-    hash, measured ~6× slower end-to-end. The signature relation stays NARROW
-    (k hash columns, no ``collect_set`` — round 2 materialized every doc's
-    shingle set through the signature shuffle and a persist, which VERDICT r2
-    traced to a +23% bench regression); the explicit ``repartition(band,
+    hash, measured ~6× slower end-to-end. The explicit ``repartition(band,
     digest)`` lets ReuseExchange serve BOTH self-join sides from one signature
-    pass instead of a cache. Verification recomputes each candidate's shingle
-    set per-row from the source text (``shingle_array`` is a codegen'd
-    projection, and candidates are joined against the corpus without
-    shuffling it — candidate-proportional, never all-pairs).
+    pass.
+
+    ``carry_sets`` picks the verification regime — which one wins depends on
+    how much of the corpus survives banding:
+
+    * ``False`` (default — SPARSE duplicates, the common corpus-dedup case):
+      the signature relation stays NARROW (k hash columns), the candidate
+      pair list is materialized (it is the small relation by design), and
+      shingle sets are recomputed only for docs that appear in a candidate
+      pair. Cost ∝ candidates; a corpus with few near-dups never pays for
+      sets it won't compare (measured 8.4 → 3.5 s on the sf0.1 documents
+      table vs the carry design).
+    * ``True`` (DUP-HEAVY blocks, e.g. a crawl partition where most docs
+      have a near-dup): every doc's shingle set rides the one signature
+      shuffle as a ``collect_set`` and the signature relation is
+      materialized once; verification joins against it by id. When
+      candidate docs ≈ corpus the rejoin regime would rebuild nearly every
+      set a second time — measured 2× canonicalize wall on the pipeline's
+      synthetic corpus.
     """
     rows = k // bands
 
@@ -238,8 +251,16 @@ def minhash_lsh_pairs(
 
     sh = word_shingles(df, n=n, text_col=text_col, id_col=id_col)
     aggs = [F.min(h(i)).alias(f"mh{i}") for i in range(k)]
-    # one shuffle: the narrow per-doc signature (map-side partial agg)
+    if carry_sets:
+        aggs.append(F.collect_set("shingle").alias("shset"))
+    # one shuffle: the per-doc signature (map-side partial agg)
     sig = sh.groupBy(id_col).agg(*aggs)
+    if carry_sets:
+        # materialize once: sig feeds banding AND both verify sides; lazy,
+        # the three consumer stages run concurrently inside one job and
+        # each would recompute the full shingle+hash pass (persist alone
+        # cannot dedupe concurrent in-job branches)
+        sig = sig.localCheckpoint(eager=True)
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -257,9 +278,7 @@ def minhash_lsh_pairs(
     )
 
     # candidate generation is bucket-local on a narrow (id, band, digest)
-    # relation; the shingle sets are recomputed per-row only for the
-    # deduplicated candidates, so verification cost is candidate-proportional
-    # — never the all-pairs exact join the plain n-gram operator does
+    # relation — never the all-pairs exact join the plain n-gram operator does
     a = banded.select(F.col(id_col).alias("id_a"), "band", "digest")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "digest")
     cand = (
@@ -268,27 +287,46 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .dropDuplicates()
     )
-    # join raw text first, shingle AFTER: the shingle build (the expensive
-    # per-row transform) runs only for matched candidate rows. No broadcast
-    # HINT on purpose: AQE broadcasts the candidate side when its runtime
-    # size is small (the normal case — corpus scanned, never shuffled) but
-    # falls back to a shuffle join on a dup-heavy corpus where forcing the
-    # broadcast would OOM the driver.
-    docs = df.select(F.col(id_col), F.col(text_col))
-    enriched = (
-        cand.join(
-            docs.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("_ta")), "id_a"
+    if carry_sets:
+        # dup-heavy regime: every doc's set already rode the signature
+        # shuffle; verification is two id joins against the materialized sig
+        enriched = cand.join(
+            sig.select(F.col(id_col).alias("id_a"), F.col("shset").alias("sa")), "id_a"
+        ).join(
+            sig.select(F.col(id_col).alias("id_b"), F.col("shset").alias("sb")), "id_b"
         )
-        .join(
-            docs.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("_tb")), "id_b"
+    else:
+        # sparse regime: materialize the candidate list (it is the SMALL
+        # relation by design, and is consumed twice below — pair join + the
+        # id semi-join; lazy, the whole signature+band subtree would
+        # re-execute per consumer), restrict the corpus to candidate docs,
+        # shingle exactly once per surviving doc, and join plain array
+        # columns. The arrays must sit BELOW an exchange when the pair join
+        # sees them — without that barrier Catalyst pushes the Jaccard
+        # threshold into the join condition and substitutes the whole
+        # regexp+split+transform chain into it, rebuilding both shingle
+        # arrays several times per probed row (observed: 2× pipeline wall
+        # at 50k docs). No broadcast HINT on purpose: AQE broadcasts the
+        # candidate side when its runtime size is small but falls back to a
+        # shuffle join on a dup-heavy corpus where forcing the broadcast
+        # would OOM the driver.
+        cand = cand.localCheckpoint(eager=True)
+        cand_ids = (
+            cand.select(F.col("id_a").alias(id_col))
+            .union(cand.select(F.col("id_b").alias(id_col)))
+            .dropDuplicates()
         )
-        .select(
-            "id_a",
-            "id_b",
-            shingle_array(F.col("_ta"), n).alias("sa"),
-            shingle_array(F.col("_tb"), n).alias("sb"),
+        shingled = (
+            df.select(F.col(id_col), F.col(text_col))
+            .join(cand_ids, id_col)
+            .select(F.col(id_col), shingle_array(F.col(text_col), n).alias("sh"))
+            .repartition(F.col(id_col))
         )
-    )
+        enriched = cand.join(
+            shingled.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sa")), "id_a"
+        ).join(
+            shingled.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sb")), "id_b"
+        )
     inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
     union = F.size(F.col("sa")) + F.size(F.col("sb")) - inter
     j = inter / union

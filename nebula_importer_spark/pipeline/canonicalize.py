@@ -62,7 +62,14 @@ def connected_components(
     )
     if not pairs_distinct:
         edges = edges.dropDuplicates()
-    edges = edges.persist()
+    # explicit exchange on the iteration join key before caching: an edge
+    # list arriving from an AQE-coalesced join can be 1-2 partitions, and a
+    # cached relation keeps whatever width it was cached with — every CC
+    # round would then run its edge side serially no matter the cluster
+    # (observed: 2x pipeline wall at local[2] when the dropDuplicates
+    # exchange above was skipped and nothing re-spread the cache). Keying
+    # the exchange on v aligns the cache with the per-round labels join.
+    edges = edges.repartition(F.col("v")).persist()
     store = (
         edges.select(F.col("u").alias("id"))
         .dropDuplicates()

@@ -138,11 +138,19 @@ def run_pipeline(
         corpus = corpus.repartition(target, F.col("doc_id"))
     corpus = with_bucket(corpus, n_buckets).persist()
 
-    # global stage: near-dup pairs + connected components over ALL docs
-    flat = reassemble(corpus.select("doc_id", "spans"))
+    # global stage: near-dup pairs + connected components over ALL docs.
+    # flat is persisted because minhash_lsh_pairs consumes its input three
+    # times (signature chain + both candidate text lookups): on a raw
+    # parquet table the re-scans are free, but reassemble() is a computed
+    # subtree (span sort + array_join per doc) and re-executing it per
+    # consumer tripled the canonicalize stage at 50k docs.
+    flat = reassemble(corpus.select("doc_id", "spans")).persist()
     pairs = minhash_lsh_pairs(
         flat, threshold=dedup_threshold, text_col="text", id_col="doc_id",
-        portable=False,  # internal only → xxhash64 fast path
+        portable=False,   # internal only → xxhash64 fast path
+        carry_sets=True,  # this corpus is dup-heavy by design: most docs
+                          # survive banding, so sets ride the signature
+                          # shuffle instead of being rebuilt candidate-side
     )
     canon = canonical_mapping(corpus.select("doc_id"), pairs, pairs_distinct=True).persist()
     timings["canonicalize"] = time.time() - t0

@@ -78,13 +78,14 @@ def get_spark(
         # and on a disaggregated-storage cluster (S3/remote shuffle) the
         # standard setting is the same: don't wait.
         builder = builder.config("spark.locality.wait", "0s")
-        if os.environ.get("SPARK_GRAFT_EVENTLOG"):
-            os.makedirs(os.environ["SPARK_GRAFT_EVENTLOG"], exist_ok=True)
-            builder = builder.config("spark.eventLog.enabled", "true").config(
-                "spark.eventLog.dir", os.environ["SPARK_GRAFT_EVENTLOG"]
-            )
         if os.environ.get("SPARK_EXECUTOR_MEMORY"):
             builder = builder.config(
                 "spark.executor.memory", os.environ["SPARK_EXECUTOR_MEMORY"]
             )
+    # event logging works for ANY master (thread-mode legs profile too)
+    if os.environ.get("SPARK_GRAFT_EVENTLOG"):
+        os.makedirs(os.environ["SPARK_GRAFT_EVENTLOG"], exist_ok=True)
+        builder = builder.config("spark.eventLog.enabled", "true").config(
+            "spark.eventLog.dir", os.environ["SPARK_GRAFT_EVENTLOG"]
+        )
     return builder.getOrCreate()
