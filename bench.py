@@ -140,6 +140,9 @@ def main() -> None:
             n_triples = result.triples.count()
             leg = time.time() - t0
             wall = leg if wall is None else min(wall, leg)
+            # release the run's caches so back-to-back legs don't accumulate
+            # executor memory (each leg measures the engine, not eviction)
+            result.unpersist()
         timings["kg_pipeline"] = round(wall, 3)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

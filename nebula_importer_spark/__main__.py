@@ -55,12 +55,18 @@ def main(argv=None) -> int:
         print(json.dumps({
             "records": result.n_records,
             "statements": result.n_statements,
+            "failed": result.n_failed,
             "wall_sec": round(result.wall_sec, 3),
             "specs": [
                 {"source": s.source, "kind": s.kind, "name": s.name,
                  "records": s.n_records, "statements": s.n_statements,
                  "output": s.output_path}
                 for s in result.specs
+            ],
+            "sources": [
+                {"source": s.source, "raw": s.raw_rows,
+                 "parsed": s.parsed_rows, "failed": s.failed_rows}
+                for s in result.sources
             ],
             "before_hooks": [h.status for h in result.before_hooks],
             "after_hooks": [h.status for h in result.after_hooks],
@@ -78,8 +84,16 @@ def main(argv=None) -> int:
             print(f"hook(after) {h.status}: {h.statement}")
         print(
             f"done: {result.n_records} records, {result.n_statements} "
-            f"statements in {result.wall_sec:.1f}s"
+            f"statements, {result.n_failed} failed in {result.wall_sec:.1f}s"
         )
+    # the reference's exit contract (pkg/cmd/nebula-importer.go:118-130):
+    # stats.IsFailed() -> the process exits non-zero so scripts can gate on it
+    if result.is_failed:
+        print(
+            f"failed to import: {result.n_failed} record(s) dropped",
+            file=sys.stderr,
+        )
+        return 1
     return 0
 
 

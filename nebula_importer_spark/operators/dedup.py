@@ -26,6 +26,8 @@ from typing import Optional
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from nebula_importer_spark.operators.checkpointing import materialize
+
 HEX = "0123456789abcdef"
 
 #: Default document-frequency cap for the exact inverted-index path. A
@@ -260,7 +262,7 @@ def minhash_lsh_pairs(
         # the three consumer stages run concurrently inside one job and
         # each would recompute the full shingle+hash pass (persist alone
         # cannot dedupe concurrent in-job branches)
-        sig = sig.localCheckpoint(eager=True)
+        sig = materialize(sig)
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -310,7 +312,7 @@ def minhash_lsh_pairs(
         # candidate side when its runtime size is small but falls back to a
         # shuffle join on a dup-heavy corpus where forcing the broadcast
         # would OOM the driver.
-        cand = cand.localCheckpoint(eager=True)
+        cand = materialize(cand)
         cand_ids = (
             cand.select(F.col("id_a").alias(id_col))
             .union(cand.select(F.col("id_b").alias(id_col)))

@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from nebula_importer_spark.operators.checkpointing import materialize
+
 #: 1.0 in rank micro-units.
 RANK_ONE = 1_000_000
 
@@ -112,7 +114,7 @@ def pagerank(
             )
         )
     # materialize before dropping the cached inputs the plan still references
-    out = ranks.localCheckpoint(eager=True)
+    out = materialize(ranks)
     edges_deg.unpersist()
     node_ids.unpersist()
     return out

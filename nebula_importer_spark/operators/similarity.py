@@ -184,6 +184,7 @@ def embedding_lsh_pairs(
     threshold: float = 0.95,
     planes: int = 8,
     bands: int = 1,
+    multiprobe: bool = False,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -202,6 +203,14 @@ def embedding_lsh_pairs(
     multiprobe widening VERDICT r2 asked for ("Next round" #6; the single
     bucket verified only 1 pair at sf0.1). Candidate cost rises linearly in
     ``bands``, never quadratically in docs.
+
+    ``multiprobe`` additionally probes every single-bit-flip of each band
+    key (standard multiprobe LSH): a pair becomes a candidate when some
+    band's keys are within Hamming distance 1, not only equal. One side of
+    the self-join explodes to ``bits+1`` keys per band — candidate cost
+    rises by that constant factor, still linear in docs and bucket-local.
+    Measured at sf0.01/threshold 0.40: 23 verified pairs exact-band vs 48
+    with multiprobe (recall 0.81 of the 59 exact-cosine pairs).
 
     Returns (id_a, id_b, cos_e4) like the exact variant.
     """
@@ -227,21 +236,48 @@ def embedding_lsh_pairs(
         .select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
         .repartition(F.col("band"), F.col("key"))
     )
-    a = banded.select(F.col(id_col).alias("id_a"), "band", "key")
+    if multiprobe:
+        # probe side = exact key + each single-bit flip, derived FROM the
+        # repartitioned exact relation so the (interpreted, dominant-cost)
+        # sketch pass is computed once and reused by both join sides. A
+        # Hamming-1 pair surfaces when the probe side's flipped key hits
+        # the other doc's exact key; the flip relation is symmetric, so
+        # expanding one side recalls every such pair.
+        flips = F.array(
+            F.col("key"),
+            *[F.col("key").bitwiseXOR(F.lit(1 << j)) for j in range(bits)],
+        )
+        probe = (
+            banded.select(F.col(id_col), "band", F.explode(flips).alias("key"))
+            .repartition(F.col("band"), F.col("key"))
+        )
+    else:
+        probe = banded
+    a = probe.select(F.col(id_col).alias("id_a"), "band", "key")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "key")
     cand = (
         a.join(b, ["band", "key"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        .where(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
         .dropDuplicates()
     )
-    # vectors join back candidate-side only: the small candidate set
-    # broadcasts, the corpus is re-scanned (projection) but never shuffled
+    # vectors join back candidate-side only: the corpus is re-scanned
+    # (projection) but never shuffled. No broadcast HINT on purpose (ADVICE
+    # r3): the candidate list is O(n²/buckets) on a dup-heavy/low-entropy
+    # corpus, and forcing the broadcast — worse, of the half-enriched
+    # relation carrying full embedding arrays — would OOM the driver
+    # exactly where this operator is the documented scale path. AQE
+    # broadcasts from runtime sizes when the candidates ARE small and
+    # falls back to a shuffle join when they are not, the same rationale
+    # as minhash_lsh_pairs.
     vecs = df.select(F.col(id_col), F.col(vec_col))
-    half = F.broadcast(cand).join(
+    half = cand.join(
         vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")), "id_a"
     )
-    pairs = F.broadcast(half).join(
+    pairs = half.join(
         vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")), "id_b"
     )
     cos = cosine(F.col("va").cast("array<double>"), F.col("vb").cast("array<double>"))

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from nebula_importer_spark.operators.checkpointing import materialize
+
 
 def connected_components(
     pairs: DataFrame,
@@ -29,6 +31,7 @@ def connected_components(
     checkpoint_every: int = 3,
     require_convergence: bool = True,
     pairs_distinct: bool = False,
+    materialize_pairs: bool = True,
 ) -> DataFrame:
     """Min-label connected components over an undirected edge list.
 
@@ -56,7 +59,21 @@ def connected_components(
     probe reads the round's own persisted labels (a ``_chg`` flag computed
     in the label update itself), so probing every round is cache-local —
     no extra join, and the loop stops at the earliest fixpoint round.
+    (Probing only every k-th round was measured ~20% SLOWER end-to-end at
+    sf0.1 — extra rounds past the fixpoint cost more than the probe jobs.)
+
+    ``materialize_pairs`` (default ON) cuts the pair list's lineage before
+    the symmetric union below: the union embeds the ``pairs`` plan on BOTH
+    legs, so a computed pair list (every real caller: an LSH or inverted-
+    index join) would execute twice inside the first round's job — persist
+    cannot help because the legs race within one job before the cache
+    exists. The pair list is the near-dup output (small by design), so the
+    cut is one cheap extra pass; measured −14% on the sf0.1 canonicalize
+    query, and with the dup-heavy carry-sets verify regime −35% combined.
+    Pass ``False`` only when ``pairs`` is a raw stored table.
     """
+    if materialize_pairs:
+        pairs = materialize(pairs.select(src_col, dst_col))
     edges = pairs.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v")).union(
         pairs.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v"))
     )
@@ -97,7 +114,7 @@ def connected_components(
             )
         )
         if (i + 1) % checkpoint_every == 0:
-            new_labels = new_labels.localCheckpoint(eager=True)
+            new_labels = materialize(new_labels)
         else:
             new_labels = new_labels.persist()
         # probe the round's own cached output — no old-vs-new join
@@ -116,7 +133,15 @@ def connected_components(
             "iterations (component diameter exceeds the cap); raise "
             "max_iterations or switch algorithm='star'"
         )
-    return labels
+    # self-clean: cut the final labels off the last round's cache so the
+    # loop's persisted relation can be released (callers hold long-lived
+    # references — an un-released per-call cache accumulates across
+    # pipeline invocations in one session). The labels relation is one
+    # narrow row per vertex; the extra pass is cheap and the returned plan
+    # no longer references any internal cache.
+    out = materialize(labels)
+    store.unpersist()
+    return out
 
 
 def _neighborhood_min(edges: DataFrame) -> DataFrame:
@@ -135,6 +160,7 @@ def connected_components_star(
     max_iterations: int = 30,
     require_convergence: bool = True,
     pairs_distinct: bool = False,
+    materialize_pairs: bool = True,
 ) -> DataFrame:
     """Alternating large-star / small-star connected components.
 
@@ -153,7 +179,11 @@ def connected_components_star(
     Returns (id, component) with component = the component's minimum id.
     """
     # undirected → directed both ways, deduped (skippable when the caller's
-    # pairs are already distinct with src < dst — the package generators are)
+    # pairs are already distinct with src < dst — the package generators are).
+    # materialize_pairs: see connected_components — the union embeds the
+    # pair plan twice; cut computed pair lists once up front.
+    if materialize_pairs:
+        pairs = materialize(pairs.select(src_col, dst_col))
     edges = (
         pairs.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
         .union(pairs.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v")))
@@ -193,7 +223,7 @@ def connected_components_star(
             small.select(F.col("v").alias("u"), F.col("u").alias("v"))
         ).dropDuplicates()
         if (i + 1) % 3 == 0:
-            new_edges = new_edges.localCheckpoint(eager=True)
+            new_edges = materialize(new_edges)
         else:
             new_edges = new_edges.persist()
         converged = (
@@ -219,9 +249,13 @@ def connected_components_star(
     centers = labels.select(F.col("component").alias("id")).dropDuplicates().withColumn(
         "component", F.col("id")
     )
-    return labels.unionByName(centers).groupBy("id").agg(
-        F.min("component").alias("component")
+    out = materialize(
+        labels.unionByName(centers).groupBy("id").agg(
+            F.min("component").alias("component")
+        )
     )
+    edges.unpersist()  # self-clean: out no longer references the loop cache
+    return out
 
 
 def canonical_mapping(
@@ -232,6 +266,7 @@ def canonical_mapping(
     dst_col: str = "id_b",
     algorithm: str = "min_label",
     pairs_distinct: bool = False,
+    materialize_pairs: bool = True,
 ) -> DataFrame:
     """(id, canonical_id) for ALL ids: component-min for linked ids, self else.
 
@@ -242,7 +277,10 @@ def canonical_mapping(
     dedup shuffle for generator-produced pair lists.
     """
     cc = connected_components_star if algorithm == "star" else connected_components
-    comp = cc(pairs, src_col, dst_col, pairs_distinct=pairs_distinct)
+    comp = cc(
+        pairs, src_col, dst_col,
+        pairs_distinct=pairs_distinct, materialize_pairs=materialize_pairs,
+    )
     return (
         ids.select(F.col(id_col))
         .dropDuplicates()

@@ -13,9 +13,11 @@ and final stats. :func:`import_config` is that flow over this engine:
   ``output_path/<source_idx>_<kind>_<name>`` as parquet — the engine's
   sink stand-in for the reference's client pool,
 * hooks are driver-side statements. The reference executes them against
-  NebulaGraph; here anything that parses as Spark SQL runs, anything else
-  (raw nGQL) is recorded and skipped — recorded, because a migrating user
-  must see WHAT would have run (``pkg/manager/hooks.go:10-22``),
+  NebulaGraph and aborts on failure (``pkg/manager/manager.go:288-334``);
+  here anything that parses as Spark SQL runs (and failures abort the
+  import, same contract), anything else (raw nGQL, types at
+  ``pkg/manager/hooks.go:10-22``) is recorded and skipped — recorded,
+  because a migrating user must see WHAT would have run,
 * ``manager.statsInterval`` turns on the live :class:`ProgressReporter`.
 
 The CLI face is ``python -m nebula_importer_spark --config x.yaml``
@@ -64,8 +66,22 @@ class SpecResult:
 
 
 @dataclass
+class SourceStat:
+    """Per-source parse accounting (stats.FailedRecords analog)."""
+
+    source: str
+    raw_rows: Optional[int]  # None: typed source, no per-row parse step
+    parsed_rows: int
+
+    @property
+    def failed_rows(self) -> int:
+        return 0 if self.raw_rows is None else self.raw_rows - self.parsed_rows
+
+
+@dataclass
 class ImportResult:
     specs: List[SpecResult] = field(default_factory=list)
+    sources: List[SourceStat] = field(default_factory=list)
     before_hooks: List[HookResult] = field(default_factory=list)
     after_hooks: List[HookResult] = field(default_factory=list)
     progress: list = field(default_factory=list)
@@ -79,15 +95,46 @@ class ImportResult:
     def n_statements(self) -> int:
         return sum(s.n_statements for s in self.specs)
 
+    @property
+    def n_failed(self) -> int:
+        """Rows the readers dropped — the reference's stats.IsFailed input
+        (``pkg/cmd/nebula-importer.go:118-130``: failed > 0 ⇒ exit 1)."""
+        return sum(s.failed_rows for s in self.sources)
+
+    @property
+    def is_failed(self) -> bool:
+        return self.n_failed > 0
+
 
 def _exec_hooks(spark: SparkSession, stmts) -> List[HookResult]:
+    """Execute driver-side hook statements — manager execHooks analog.
+
+    The reference ABORTS the import when a hook statement fails
+    (``pkg/manager/manager.go:288-334``; the ``m.Before()`` error return at
+    manager.go:222 stops the run before any source is read). The same
+    contract holds here for anything Spark SQL can parse: a failing hook
+    raises, so a before-hook failure blocks the import and an after-hook
+    failure surfaces to the caller. The one deliberate divergence: a
+    statement that does not PARSE as Spark SQL (raw nGQL like ``CREATE TAG
+    …``) is recorded as "skipped" instead of failing — a migrating user
+    keeps their reference config running and sees exactly what would have
+    executed server-side.
+
+    ``spark.sql`` runs commands (DDL/CTAS/SET) eagerly but returns SELECT
+    plans lazily; the noop-sink write forces those, so "executed" always
+    means executed — a query hook over a missing table fails here, not
+    silently downstream.
+    """
+    from pyspark.errors import ParseException
+
     out: List[HookResult] = []
     for stmt in stmts:
         try:
-            spark.sql(stmt)
-            out.append(HookResult(stmt, "executed"))
-        except Exception as e:  # raw nGQL: record, don't die (hooks.go:16-21)
+            spark.sql(stmt).write.format("noop").mode("overwrite").save()
+        except ParseException as e:  # raw nGQL: record, don't die
             out.append(HookResult(stmt, "skipped", error=type(e).__name__))
+        else:
+            out.append(HookResult(stmt, "executed"))
     return out
 
 
@@ -131,6 +178,22 @@ def import_config(
             records = read_source(spark, src, base_dir=base_dir)
             if len(src.nodes) + len(src.edges) > 1:
                 records = records.persist()  # one scan, many importers
+            # failed-record accounting: parsed (forced through the record
+            # projection — a bare count() on a CSV scan skips parsing and
+            # DROPMALFORMED never fires) vs the PERMISSIVE raw count
+            from pyspark.sql import functions as F
+
+            from nebula_importer_spark.operators.mapping import RECORD_COL
+            from nebula_importer_spark.sources.config import count_source_rows
+
+            parsed = records.where(F.col(RECORD_COL).isNotNull()).count()
+            result.sources.append(
+                SourceStat(
+                    source=src.path or "sql",
+                    raw_rows=count_source_rows(spark, src, base_dir=base_dir),
+                    parsed_rows=parsed,
+                )
+            )
             try:
                 for kind, spec in [("tag", s) for s in src.nodes] + [
                     ("edge", s) for s in src.edges

@@ -70,6 +70,21 @@ class PipelineResult:
     lineage: Optional[DataFrame] = None
     timings: dict = field(default_factory=dict)
     progress: list = field(default_factory=list)  # ProgressReporter rows
+    _cached: list = field(default_factory=list)   # persisted handles
+
+    def unpersist(self) -> None:
+        """Release the run's persisted relations.
+
+        The returned ``triples``/``canonical`` plans reference caches built
+        during the run (corpus, spans, linked mentions); they stay pinned
+        until released, so repeated ``run_pipeline`` calls in one session
+        (benchmark repeats, notebook loops) accumulate executor memory.
+        Call this once the results are consumed — the DataFrames remain
+        valid afterwards, they just recompute if used again.
+        """
+        for df in self._cached:
+            df.unpersist()
+        self._cached.clear()
 
 
 def fixture_records(spans: DataFrame, delimiter: str = "|") -> DataFrame:
@@ -120,9 +135,12 @@ def run_pipeline(
 
         reporter = ProgressReporter(spark, interval_sec=stats_interval_sec).start()
     # before-hooks: driver-side DDL before the run, the analog of the
-    # reference's manager exec hooks (pkg/manager/hooks.go:10-22)
-    for stmt in before_hooks:
-        spark.sql(stmt)
+    # reference's manager exec hooks (pkg/manager/manager.go:288-334);
+    # a failing before-hook aborts the run, matching m.Before()'s error
+    # return at manager.go:222 (raw nGQL is recorded+skipped, see importer)
+    from nebula_importer_spark.pipeline.importer import _exec_hooks
+
+    _exec_hooks(spark, before_hooks)
     alias_map = DEFAULT_ALIASES if aliases is None else aliases
     alias_df = spark.createDataFrame(
         sorted(alias_map.items()), "term string, entity string"
@@ -153,6 +171,11 @@ def run_pipeline(
                           # shuffle instead of being rebuilt candidate-side
     )
     canon = canonical_mapping(corpus.select("doc_id"), pairs, pairs_distinct=True).persist()
+    # the CC labels inside canon are materialized (connected_components
+    # self-cleans and returns a checkpointed relation), so the reassembled
+    # text is no longer referenced by any live plan — release it now rather
+    # than at result-consumption time (it is the widest cache of the run)
+    flat.unpersist()
     timings["canonicalize"] = time.time() - t0
 
     # per-document work: restrict to pending buckets (resume + wave filter)
@@ -242,8 +265,7 @@ def run_pipeline(
         triples = attributed.dropDuplicates(TRIPLE_KEY).select(*TRIPLE_KEY)
     stats = predicate_stats(triples)
 
-    for stmt in after_hooks:
-        spark.sql(stmt)
+    _exec_hooks(spark, after_hooks)
 
     timings["total"] = time.time() - t0
     if reporter is not None:
@@ -252,4 +274,5 @@ def run_pipeline(
         triples=triples, canonical=canon, stats=stats,
         lineage=lineage_rows, timings=timings,
         progress=reporter.rows if reporter is not None else [],
+        _cached=[corpus, spans, linked, canon],
     )

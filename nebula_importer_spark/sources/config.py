@@ -302,3 +302,30 @@ def read_source(
         with_header=src.csv.with_header,
         lazy_quotes=src.csv.lazy_quotes,
     )
+
+
+def count_source_rows(
+    spark: SparkSession, src: SourceConfig, base_dir: Optional[str] = None
+) -> Optional[int]:
+    """Physical row count of one source, malformed rows included.
+
+    ``None`` for SQL sources — JDBC rows arrive typed, there is no parse
+    step that can fail per-row. Used by the importer's failed-record
+    accounting (the reference's ``stats.IsFailed`` exit contract,
+    ``pkg/cmd/nebula-importer.go:118-130``).
+    """
+    from nebula_importer_spark.sources.csv import count_raw_rows
+
+    if src.kind == "sql":
+        return None
+    path = src.path
+    if base_dir is not None and "://" not in path and not os.path.isabs(path):
+        path = os.path.join(base_dir, path)
+    return count_raw_rows(
+        spark,
+        path,
+        delimiter=src.csv.delimiter,
+        comment=src.csv.comment,
+        with_header=src.csv.with_header,
+        lazy_quotes=src.csv.lazy_quotes,
+    )

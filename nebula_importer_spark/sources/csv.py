@@ -70,6 +70,47 @@ def read_records_csv(
     return records_from_columns(df, df.columns)
 
 
+def count_raw_rows(
+    spark: SparkSession,
+    path: str,
+    delimiter: str = ",",
+    comment: str = "",
+    with_header: bool = False,
+    lazy_quotes: bool = False,
+    multi_line: bool = False,
+) -> int:
+    """Total data rows the source physically contains, malformed included.
+
+    A PERMISSIVE re-read with the same parse options: PERMISSIVE never drops
+    a row, so its count is the denominator for the reference's failed-record
+    accounting (``stats.FailedRecords``, ``pkg/stats/stats.go:16``) —
+    ``failed = raw − parsed``. Headers, comment lines, and blank lines are
+    excluded identically on both reads, and the approach survives globs and
+    ``multiLine`` quoting where raw line counting would not.
+
+    Note the parsed side must force an actual parse: Spark optimizes a bare
+    ``count()`` on a CSV scan to a row count WITHOUT field parsing, so
+    DROPMALFORMED never fires and the counts silently agree — count the
+    DROPMALFORMED frame through a projection of its record column instead.
+    """
+    reader = (
+        spark.read.option("sep", delimiter)
+        .option("header", with_header)
+        .option("inferSchema", False)
+        .option("mode", "PERMISSIVE")
+        .option("emptyValue", "")
+        .option("escape", '"')
+        .option("multiLine", multi_line)
+        .option("ignoreLeadingWhiteSpace", False)
+        .option("ignoreTrailingWhiteSpace", False)
+    )
+    if comment:
+        reader = reader.option("comment", comment)
+    if lazy_quotes:
+        reader = reader.option("unescapedQuoteHandling", "STOP_AT_CLOSING_QUOTE")
+    return reader.csv(path).count()
+
+
 def records_from_columns(df: DataFrame, cols: Optional[Sequence[str]] = None) -> DataFrame:
     """Pack string-cast columns into a ``record: array<string>`` column.
 

@@ -86,3 +86,34 @@ def test_cli_main_json(fixture_dir, capsys):
     assert payload["records"] >= 6
     assert len(payload["specs"]) == 8
     assert payload["before_hooks"] == ["skipped", "skipped"]
+    # clean fixture: failure accounting present and zero
+    assert payload["failed"] == 0
+    assert all(s["failed"] == 0 for s in payload["sources"])
+
+
+def test_cli_exits_nonzero_on_failed_rows(fixture_dir, capsys):
+    """stats.IsFailed contract (pkg/cmd/nebula-importer.go:118-130): rows
+    the reader drops must surface in the summary AND flip the exit code —
+    the reference returns "failed to import" when any record failed."""
+    import json
+
+    from nebula_importer_spark.__main__ import main
+
+    # node1.csv is 4 columns; a 2-field row and an over-long row are
+    # malformed for the fixture schema and get dropped by DROPMALFORMED
+    with open(f"{fixture_dir}/node1.csv", "a") as f:
+        f.write("9,short\n10,a,2,3.3,extra,fields\n")
+    rc = main(["-c", f"{fixture_dir}/nebula-importer.v3.yaml", "--json",
+               "--master", "local[2]"])
+    assert rc == 1
+    out = capsys.readouterr()
+    line = [l for l in out.out.splitlines() if l.startswith("{")][-1]
+    payload = json.loads(line)
+    # the fixture reads node1.csv as TWO of its three sources: 2 dropped
+    # rows are charged to each read, exactly like the reference's per-source
+    # reader stats
+    node_sources = [s for s in payload["sources"] if "node1.csv" in s["source"]]
+    assert len(node_sources) == 2
+    assert all(s["failed"] == 2 for s in node_sources)
+    assert payload["failed"] == 4
+    assert "failed to import" in out.err
