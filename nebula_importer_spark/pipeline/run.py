@@ -170,7 +170,12 @@ def run_pipeline(
                           # survive banding, so sets ride the signature
                           # shuffle instead of being rebuilt candidate-side
     )
-    canon = canonical_mapping(corpus.select("doc_id"), pairs, pairs_distinct=True).persist()
+    # algorithm="auto": min-label (optimal for the near-dup graph's tiny
+    # components) with a bounded round cap, star fallback so a pathological
+    # chain-shaped dup graph degrades to O(log² n) rounds instead of failing
+    canon = canonical_mapping(
+        corpus.select("doc_id"), pairs, pairs_distinct=True, algorithm="auto"
+    ).persist()
     # the CC labels inside canon are materialized (connected_components
     # self-cleans and returns a checkpointed relation), so the reassembled
     # text is no longer referenced by any live plan — release it now rather

@@ -84,6 +84,48 @@ def test_canonical_mapping_includes_isolated(spark):
     assert got == {1: 1, 2: 2, 3: 3, 4: 2, 5: 5}
 
 
+def test_canonical_mapping_auto_picks_algorithm(spark, monkeypatch):
+    """"auto" = min-label for low-diameter graphs; star fallback when the
+    bounded min-label probe hits its round cap (high-diameter chain)."""
+    import nebula_importer_spark.pipeline.canonicalize as cz
+
+    calls: list[str] = []
+    orig_ml, orig_star = cz.connected_components, cz.connected_components_star
+    monkeypatch.setattr(
+        cz, "connected_components",
+        lambda *a, **k: (calls.append("min_label"), orig_ml(*a, **k))[1],
+    )
+    monkeypatch.setattr(
+        cz, "connected_components_star",
+        lambda *a, **k: (calls.append("star"), orig_star(*a, **k))[1],
+    )
+
+    # tiny components: min-label converges well inside the cap, no fallback
+    ids = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    pairs = spark.createDataFrame([(0, 1), (3, 4)], "id_a long, id_b long")
+    got = {
+        r.doc_id: r.canonical_id
+        for r in cz.canonical_mapping(ids, pairs, algorithm="auto").collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 2, 3: 3, 4: 3, 5: 5}
+    assert calls == ["min_label"]
+
+    # chain with diameter > AUTO_MIN_LABEL_CAP: the probe caps out and the
+    # star fallback produces the same (correct) labels
+    calls.clear()
+    n = cz.AUTO_MIN_LABEL_CAP + 4
+    ids = spark.createDataFrame([(i,) for i in range(n + 1)], "doc_id long")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    got = {
+        r.doc_id: r.canonical_id
+        for r in cz.canonical_mapping(ids, chain, algorithm="auto").collect()
+    }
+    assert got == {i: 0 for i in range(n + 1)}
+    assert calls == ["min_label", "star"]
+
+
 def test_multimodal_plumbing(spark):
     spans = explode_spans(_corpus(spark))
     media = media_table(spans)
