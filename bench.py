@@ -35,6 +35,7 @@ HEADLINE = [
     "map_edge_rank",
     "map_statements_vertex",
     "map_type_conversions",
+    "map_apply_upsert",
     "text_quality",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

@@ -24,6 +24,12 @@ def main(argv=None) -> int:
     )
     p.add_argument("-c", "--config", required=True, help="reference-format YAML config")
     p.add_argument("-o", "--output", default=None, help="write statement batches here (parquet)")
+    p.add_argument(
+        "--apply-to", default=None, metavar="DIR",
+        help="store analog: apply each spec's INSERT/UPDATE/UPSERT/DELETE "
+        "batch to a persistent parquet table under DIR (incremental runs "
+        "mutate what earlier runs wrote)",
+    )
     p.add_argument("--master", default=None, help="Spark master (default local[*])")
     p.add_argument("--json", action="store_true", help="print one JSON line instead of logs")
     args = p.parse_args(argv)
@@ -46,6 +52,7 @@ def main(argv=None) -> int:
             args.config,
             base_dir=os.path.dirname(os.path.abspath(args.config)),
             output_path=args.output,
+            apply_path=args.apply_to,
         )
     finally:
         if owns_session:
@@ -60,7 +67,8 @@ def main(argv=None) -> int:
             "specs": [
                 {"source": s.source, "kind": s.kind, "name": s.name,
                  "records": s.n_records, "statements": s.n_statements,
-                 "output": s.output_path}
+                 "output": s.output_path, "applied": s.applied_path,
+                 "table_rows": s.table_rows}
                 for s in result.specs
             ],
             "sources": [

@@ -63,6 +63,8 @@ class SpecResult:
     n_statements: int
     statements: DataFrame
     output_path: Optional[str] = None
+    applied_path: Optional[str] = None  # apply-mode: the mutated table
+    table_rows: Optional[int] = None  # apply-mode: post-state row count
 
 
 @dataclass
@@ -144,6 +146,7 @@ def import_config(
     base_dir: Optional[str] = None,
     output_path: Optional[str] = None,
     stats_interval_sec: Optional[float] = None,
+    apply_path: Optional[str] = None,
 ) -> ImportResult:
     """Run every source × tag/edge spec of a reference-format config.
 
@@ -153,11 +156,24 @@ def import_config(
     spec's statement batches as parquet; without it statements are still
     fully materialized (counted) — the noop sink.
 
+    ``apply_path`` turns on the store analog: besides rendering statements,
+    each spec's mutation batch is APPLIED to a persistent parquet table at
+    ``apply_path/<kind>_<name>`` with the spec's mode semantics
+    (:func:`nebula_importer_spark.operators.merge.apply_mutations`) — so a
+    second incremental run mutates what the first run wrote, the way the
+    reference's client executes its statements against a live store
+    (``pkg/importer/importer.go:100-143``). Statement order within a source
+    (Nebula applies a batch sequentially) is made explicit via a
+    per-partition-monotonic sequence column over the scan, which matches
+    file order for splittable sources.
+
     Scale notes: sources are independent jobs (at 100 TB each is its own
     scan); within a source the record scan is shared by all of its specs
     via one cached narrow relation, mirroring the reference's single reader
     feeding N importers. Statement assembly is per-partition
-    (``mapInPandas``), so batches never centralize.
+    (``mapInPandas``), so batches never centralize. The apply itself is the
+    standard MERGE plan: one key shuffle per side, AQE free to broadcast
+    the (usually small) batch.
     """
     if isinstance(cfg, str):
         cfg = load_config(cfg)
@@ -176,6 +192,16 @@ def import_config(
         result.before_hooks = _exec_hooks(spark, cfg.before_hooks)
         for i, src in enumerate(cfg.sources):
             records = read_source(spark, src, base_dir=base_dir)
+            if apply_path is not None:
+                from pyspark.sql import functions as F
+
+                # statement order within the source, for apply-mode
+                # last-writer-wins (unique; ascending within a partition
+                # and partitions are ordered by split, so it follows file
+                # order for any splittable source)
+                records = records.withColumn(
+                    _SEQ_COL, F.monotonically_increasing_id()
+                )
             if len(src.nodes) + len(src.edges) > 1:
                 records = records.persist()  # one scan, many importers
             # failed-record accounting: parsed (forced through the record
@@ -203,6 +229,7 @@ def import_config(
                             spark, records, src, i, kind, spec,
                             batch=src.batch or cfg.batch,
                             output_path=output_path,
+                            apply_path=apply_path,
                         )
                     )
             finally:
@@ -217,6 +244,11 @@ def import_config(
     return result
 
 
+#: Apply-mode statement-order column (added to the scan, carried through
+#: the value projection, consumed by ``apply_mutations(seq_col=…)``).
+_SEQ_COL = "_seq"
+
+
 def _run_spec(
     spark: SparkSession,
     records: DataFrame,
@@ -226,14 +258,18 @@ def _run_spec(
     spec: Union[NodeSpec, EdgeSpec],
     batch: int,
     output_path: Optional[str],
+    apply_path: Optional[str] = None,
 ) -> SpecResult:
+    keep = (_SEQ_COL,) if apply_path is not None else ()
     values = (
-        edge_values(records, spec)
+        edge_values(records, spec, keep=keep)
         if isinstance(spec, EdgeSpec)
-        else node_values(records, spec)
+        else node_values(records, spec, keep=keep)
     )
+    if apply_path is not None:
+        values = values.persist()  # shared: statement assembly + apply
     n_records = values.count()
-    stmts = assemble_statements(values, spec, batch=batch)
+    stmts = assemble_statements(values.drop(_SEQ_COL), spec, batch=batch)
     out = None
     if output_path is not None:
         out = f"{output_path}/src{src_idx}_{kind}_{spec.name}"
@@ -242,6 +278,14 @@ def _run_spec(
         n_statements = stmts.count()
     else:
         n_statements = stmts.count()
+    applied_path = table_rows = None
+    if apply_path is not None:
+        try:
+            applied_path, table_rows = _apply_spec(
+                spark, values, spec, kind, apply_path
+            )
+        finally:
+            values.unpersist()
     return SpecResult(
         source=src.path or "sql",
         kind=kind,
@@ -250,4 +294,78 @@ def _run_spec(
         n_statements=n_statements,
         statements=stmts,
         output_path=out,
+        applied_path=applied_path,
+        table_rows=table_rows,
     )
+
+
+def _apply_spec(
+    spark: SparkSession,
+    values: DataFrame,
+    spec: Union[NodeSpec, EdgeSpec],
+    kind: str,
+    apply_path: str,
+) -> tuple:
+    """Apply one spec's mutation batch to its persistent table — the store
+    analog of the reference client executing the rendered statements
+    (``pkg/importer/importer.go:100-143``).
+
+    Table state is the RENDERED representation: keys are rendered VID/
+    endpoint literals, props are rendered value literals (the string
+    ``NULL`` is a stored NULL — set-to-NULL and not-set stay distinct:
+    a guard-failed SET clause becomes SQL NULL = "not set by this batch",
+    exactly the clause the renderer drops from the statement text).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from nebula_importer_spark.functions.filters import compile_filter
+    from nebula_importer_spark.operators.checkpointing import materialize
+    from nebula_importer_spark.operators.merge import apply_mutations
+    from nebula_importer_spark.plans.specs import Mode
+
+    if kind == "edge":
+        key_cols = ["src", "dst", "rank"]
+        if "rank" not in values.columns:  # reference default rank = 0
+            values = values.withColumn("rank", F.lit("0"))
+    else:
+        key_cols = ["vid"]
+
+    prop_names = [f"p_{p.name}" for p in spec.props]
+    batch_cols = []
+    if spec.mode != Mode.DELETE:
+        for p in spec.props:
+            col = F.col(f"p_{p.name}")
+            if spec.mode in (Mode.UPDATE, Mode.UPSERT) and p.expr:
+                # the renderer's prop guard drops the clause from the SET
+                # list (mapping._set_clauses); here "dropped" = not set
+                clause = F.concat(F.lit(p.converted_name + " = "), col)
+                col = F.when(compile_filter(p.expr, variables={"val": clause}), col)
+            batch_cols.append(col.alias(f"p_{p.name}"))
+    batch = values.select(*key_cols, *batch_cols, F.col(_SEQ_COL))
+
+    from pyspark.errors import AnalysisException
+
+    table_path = f"{apply_path}/{kind}_{spec.name}"
+    try:
+        table = spark.read.parquet(table_path)
+    except AnalysisException:  # first run: empty table with this spec's schema
+        table = spark.createDataFrame(
+            [],
+            StructType(
+                [StructField(c, StringType()) for c in key_cols + prop_names]
+            ),
+        )
+    # schema evolution: props this spec introduces join the table as
+    # never-set columns (apply_mutations takes the prop set from the table)
+    for c in prop_names:
+        if c not in table.columns:
+            table = table.withColumn(c, F.lit(None).cast("string"))
+
+    post = apply_mutations(
+        table, batch, spec.mode.value, key_cols=key_cols, seq_col=_SEQ_COL
+    )
+    # cut lineage before the overwrite deletes the files the plan reads
+    post = materialize(post)
+    post.write.mode("overwrite").parquet(table_path)
+    return table_path, post.count()
