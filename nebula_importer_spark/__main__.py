@@ -68,7 +68,7 @@ def main(argv=None) -> int:
                 {"source": s.source, "kind": s.kind, "name": s.name,
                  "records": s.n_records, "statements": s.n_statements,
                  "output": s.output_path, "applied": s.applied_path,
-                 "table_rows": s.table_rows}
+                 "table_rows": s.table_rows, "failed": s.n_failed}
                 for s in result.specs
             ],
             "sources": [

@@ -56,6 +56,23 @@ from pyspark.sql import functions as F
 MODES = ("INSERT", "UPDATE", "UPSERT", "DELETE")
 
 
+def unmatched_update_rows(
+    table: DataFrame, batch: DataFrame, key_cols: Sequence[str]
+) -> DataFrame:
+    """Batch rows an UPDATE-mode apply drops: keys absent from the table.
+
+    The reference surfaces each such statement as a server-side error and
+    counts it failed (``pkg/importer/importer.go:110-128``: a non-succeeded
+    execution increments the failed stats); a batch apply keeps the table
+    consistent by dropping the row instead, so the DROP COUNT must flow into
+    the import's failure accounting (``ImportResult.n_failed``) for the CLI
+    exit contract to match. One anti-join on the key columns; counted only
+    on the UPDATE path.
+    """
+    key_cols = list(key_cols)
+    return batch.join(table.select(*key_cols), key_cols, "left_anti")
+
+
 def _normalize_batch(
     batch: DataFrame,
     key_cols: Sequence[str],
@@ -114,6 +131,27 @@ def apply_mutations(
     if missing:
         raise ValueError(f"batch lacks key columns {missing}")
     prop_cols = [c for c in table.columns if c not in key_cols]
+
+    if seq_col is None and mode != "DELETE":
+        # Without an order column there is no deterministic "last" mutation
+        # per key: duplicate keys would silently multiply rows through the
+        # join (UPDATE/UPSERT) or both land in the INSERT union. Enforce the
+        # documented key-unique contract eagerly — one small aggregate job,
+        # paid only on this convenience path (the importer always passes
+        # seq_col). DELETE is key-idempotent and exempt.
+        dup = (
+            batch.groupBy(*key_cols)
+            .count()
+            .where(F.col("count") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise ValueError(
+                "apply_mutations(seq_col=None) requires a key-unique batch: "
+                f"duplicate {key_cols} keys found — pass seq_col to define "
+                "statement order"
+            )
 
     if mode == "DELETE":
         keys = batch.select(*key_cols).dropDuplicates()

@@ -23,6 +23,16 @@ from pyspark.sql import functions as F
 from nebula_importer_spark.operators.checkpointing import materialize
 
 
+class ConvergenceError(RuntimeError):
+    """An iterative algorithm hit its round cap before reaching a fixpoint.
+
+    Dedicated type so ``canonical_mapping(algorithm="auto")`` can catch
+    EXACTLY the min-label cap signal and fall back to star — a bare
+    ``RuntimeError`` catch would also swallow unrelated failures raised
+    inside the rounds and silently re-run the whole job (ADVICE r4).
+    """
+
+
 def connected_components(
     pairs: DataFrame,
     src_col: str = "id_a",
@@ -128,7 +138,11 @@ def connected_components(
 
     edges.unpersist()
     if require_convergence and not converged:
-        raise RuntimeError(
+        # release the last round's labels cache too: the auto fallback
+        # re-runs with star, and an un-released per-attempt cache would
+        # accumulate for the rest of the session (ADVICE r4)
+        store.unpersist()
+        raise ConvergenceError(
             f"connected_components did not converge within {max_iterations} "
             "iterations (component diameter exceeds the cap); raise "
             "max_iterations or switch algorithm='star'"
@@ -237,7 +251,8 @@ def connected_components_star(
             break
 
     if require_convergence and not fixpoint:
-        raise RuntimeError(
+        edges.unpersist()  # release the last round's cache before raising
+        raise ConvergenceError(
             f"connected_components_star did not reach a fixpoint within "
             f"{max_iterations} rounds; raise max_iterations"
         )
@@ -307,7 +322,7 @@ def canonical_mapping(
                 max_iterations=AUTO_MIN_LABEL_CAP,
                 pairs_distinct=pairs_distinct, materialize_pairs=False,
             )
-        except RuntimeError:
+        except ConvergenceError:
             comp = connected_components_star(
                 pairs, src_col, dst_col,
                 pairs_distinct=pairs_distinct, materialize_pairs=False,

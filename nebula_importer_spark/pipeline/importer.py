@@ -41,7 +41,7 @@ from nebula_importer_spark.sources.config import (
     ImporterConfig,
     SourceConfig,
     load_config,
-    read_source,
+    read_source_accounted,
 )
 
 
@@ -65,6 +65,10 @@ class SpecResult:
     output_path: Optional[str] = None
     applied_path: Optional[str] = None  # apply-mode: the mutated table
     table_rows: Optional[int] = None  # apply-mode: post-state row count
+    #: apply-mode UPDATE: batch rows dropped because their key is absent
+    #: from the table — the reference surfaces each as a server-side error
+    #: and counts it failed (pkg/importer/importer.go:110-128)
+    n_failed: int = 0
 
 
 @dataclass
@@ -99,9 +103,14 @@ class ImportResult:
 
     @property
     def n_failed(self) -> int:
-        """Rows the readers dropped — the reference's stats.IsFailed input
-        (``pkg/cmd/nebula-importer.go:118-130``: failed > 0 ⇒ exit 1)."""
-        return sum(s.failed_rows for s in self.sources)
+        """Rows the readers dropped PLUS apply-mode UPDATE rows whose key
+        was absent — the reference's stats.IsFailed input
+        (``pkg/cmd/nebula-importer.go:118-130``: failed > 0 ⇒ exit 1;
+        a failed server-side statement counts the same way,
+        ``pkg/importer/importer.go:110-128``)."""
+        return sum(s.failed_rows for s in self.sources) + sum(
+            s.n_failed for s in self.specs
+        )
 
     @property
     def is_failed(self) -> bool:
@@ -126,8 +135,17 @@ def _exec_hooks(spark: SparkSession, stmts) -> List[HookResult]:
     plans lazily; the noop-sink write forces those, so "executed" always
     means executed — a query hook over a missing table fails here, not
     silently downstream.
+
+    nGQL/Spark-SQL grammar collisions: a handful of nGQL statement heads
+    also parse as Spark SQL (``USE <space>``, ``SHOW …``, ``DESC[RIBE] …``)
+    but then fail ANALYSIS because the named space/object only exists
+    server-side. Those are classified like the un-parseable nGQL case —
+    recorded + skipped — so a migrating user's reference config keeps
+    running. Analysis failures on any other statement head abort: those are
+    hooks the user wrote as Spark SQL, and silently skipping them would hide
+    a real error.
     """
-    from pyspark.errors import ParseException
+    from pyspark.errors import AnalysisException, ParseException
 
     out: List[HookResult] = []
     for stmt in stmts:
@@ -135,9 +153,21 @@ def _exec_hooks(spark: SparkSession, stmts) -> List[HookResult]:
             spark.sql(stmt).write.format("noop").mode("overwrite").save()
         except ParseException as e:  # raw nGQL: record, don't die
             out.append(HookResult(stmt, "skipped", error=type(e).__name__))
+        except AnalysisException as e:
+            head = stmt.split(None, 1)[0].upper() if stmt.split() else ""
+            if head in _NGQL_COLLIDING_HEADS:
+                out.append(HookResult(stmt, "skipped", error=type(e).__name__))
+            else:
+                raise
         else:
             out.append(HookResult(stmt, "executed"))
     return out
+
+
+#: nGQL statement heads that also parse as Spark SQL but reference
+#: server-side objects (spaces, tags, hosts): an AnalysisException on these
+#: is "valid nGQL, not our catalog" — recorded + skipped, not fatal.
+_NGQL_COLLIDING_HEADS = frozenset({"USE", "SHOW", "DESC", "DESCRIBE"})
 
 
 def import_config(
@@ -191,7 +221,22 @@ def import_config(
     try:
         result.before_hooks = _exec_hooks(spark, cfg.before_hooks)
         for i, src in enumerate(cfg.sources):
-            records = read_source(spark, src, base_dir=base_dir)
+            # failed-record accounting rides the import's own scan: the
+            # observe node below counts raw + parsed when the first spec
+            # job materializes the source — NO extra read passes (the
+            # count-based approach cost two full scans per source; the
+            # reference accumulates stats during its single read)
+            records, obs, counts_raw = read_source_accounted(
+                spark, src, base_dir=base_dir
+            )
+            specs = [("tag", s) for s in src.nodes] + [
+                ("edge", s) for s in src.edges
+            ]
+            if not specs:  # nothing will scan the source: no stats to take
+                result.sources.append(
+                    SourceStat(source=src.path or "sql", raw_rows=None, parsed_rows=0)
+                )
+                continue
             if apply_path is not None:
                 from pyspark.sql import functions as F
 
@@ -202,28 +247,10 @@ def import_config(
                 records = records.withColumn(
                     _SEQ_COL, F.monotonically_increasing_id()
                 )
-            if len(src.nodes) + len(src.edges) > 1:
+            if len(specs) > 1:
                 records = records.persist()  # one scan, many importers
-            # failed-record accounting: parsed (forced through the record
-            # projection — a bare count() on a CSV scan skips parsing and
-            # DROPMALFORMED never fires) vs the PERMISSIVE raw count
-            from pyspark.sql import functions as F
-
-            from nebula_importer_spark.operators.mapping import RECORD_COL
-            from nebula_importer_spark.sources.config import count_source_rows
-
-            parsed = records.where(F.col(RECORD_COL).isNotNull()).count()
-            result.sources.append(
-                SourceStat(
-                    source=src.path or "sql",
-                    raw_rows=count_source_rows(spark, src, base_dir=base_dir),
-                    parsed_rows=parsed,
-                )
-            )
             try:
-                for kind, spec in [("tag", s) for s in src.nodes] + [
-                    ("edge", s) for s in src.edges
-                ]:
+                for kind, spec in specs:
                     result.specs.append(
                         _run_spec(
                             spark, records, src, i, kind, spec,
@@ -233,8 +260,16 @@ def import_config(
                         )
                     )
             finally:
-                if len(src.nodes) + len(src.edges) > 1:
+                if len(specs) > 1:
                     records.unpersist()
+            metrics = obs.get  # populated by the specs' own jobs above
+            result.sources.append(
+                SourceStat(
+                    source=src.path or "sql",
+                    raw_rows=metrics["raw"] if counts_raw else None,
+                    parsed_rows=metrics["parsed"],
+                )
+            )
         result.after_hooks = _exec_hooks(spark, cfg.after_hooks)
     finally:
         if reporter is not None:
@@ -279,9 +314,10 @@ def _run_spec(
     else:
         n_statements = stmts.count()
     applied_path = table_rows = None
+    n_failed = 0
     if apply_path is not None:
         try:
-            applied_path, table_rows = _apply_spec(
+            applied_path, table_rows, n_failed = _apply_spec(
                 spark, values, spec, kind, apply_path
             )
         finally:
@@ -296,6 +332,7 @@ def _run_spec(
         output_path=out,
         applied_path=applied_path,
         table_rows=table_rows,
+        n_failed=n_failed,
     )
 
 
@@ -362,10 +399,20 @@ def _apply_spec(
         if c not in table.columns:
             table = table.withColumn(c, F.lit(None).cast("string"))
 
+    n_failed = 0
+    if spec.mode == Mode.UPDATE:
+        # UPDATE drops batch rows whose key is absent; the reference counts
+        # each as a failed statement (importer.go:110-128) — surface the
+        # count so the CLI exit contract covers it. One anti-join over the
+        # persisted batch, paid only on the UPDATE path.
+        from nebula_importer_spark.operators.merge import unmatched_update_rows
+
+        n_failed = unmatched_update_rows(table, batch, key_cols).count()
+
     post = apply_mutations(
         table, batch, spec.mode.value, key_cols=key_cols, seq_col=_SEQ_COL
     )
     # cut lineage before the overwrite deletes the files the plan reads
     post = materialize(post)
     post.write.mode("overwrite").parquet(table_path)
-    return table_path, post.count()
+    return table_path, post.count(), n_failed

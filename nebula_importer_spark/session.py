@@ -32,6 +32,15 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or 32))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Reference CSV parity: Go encoding/csv validates the FULL row —
+        # a wrong-field-count record errors (and is skipped) no matter
+        # which fields a spec reads. Spark's CSV column pruning evaluates
+        # malformedness only on the referenced columns, so a pruned scan
+        # would silently keep rows the reference drops; it also breaks the
+        # importer's single-scan failed-row accounting (the corrupt-record
+        # marker goes un-populated under pruning). CSV-only knob; parquet
+        # column pruning is unaffected.
+        .config("spark.sql.csv.parser.columnPruning.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")

@@ -304,6 +304,53 @@ def read_source(
     )
 
 
+def read_source_accounted(
+    spark: SparkSession, src: SourceConfig, base_dir: Optional[str] = None
+):
+    """Read one source with single-scan failed-row accounting.
+
+    Returns ``(records, observation, counts_raw)``:
+
+    * ``records`` — the usual ``record: array<string>`` DataFrame, malformed
+      rows excluded (same rows :func:`read_source` yields);
+    * ``observation`` — :class:`pyspark.sql.Observation` whose ``.get``
+      yields ``{"raw": …, "parsed": …}`` after any action has run over
+      ``records`` (the accounting rides the import's own scan — no extra
+      read passes; the reference accumulates stats during its single read,
+      ``pkg/stats/stats.go:16``);
+    * ``counts_raw`` — False for SQL sources: JDBC rows arrive typed, there
+      is no per-row parse step that can fail, so "raw" is meaningless and
+      the caller should report it as None.
+    """
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    if src.kind == "sql":
+        records = read_source(spark, src, base_dir=base_dir)
+        obs = Observation()
+        records = records.observe(
+            obs,
+            F.count(F.lit(1)).alias("raw"),
+            F.count(F.lit(1)).alias("parsed"),
+        )
+        return records, obs, False
+
+    from nebula_importer_spark.sources.csv import read_records_csv_accounted
+
+    path = src.path
+    if base_dir is not None and "://" not in path and not os.path.isabs(path):
+        path = os.path.join(base_dir, path)
+    records, obs = read_records_csv_accounted(
+        spark,
+        path,
+        delimiter=src.csv.delimiter,
+        comment=src.csv.comment,
+        with_header=src.csv.with_header,
+        lazy_quotes=src.csv.lazy_quotes,
+    )
+    return records, obs, True
+
+
 def count_source_rows(
     spark: SparkSession, src: SourceConfig, base_dir: Optional[str] = None
 ) -> Optional[int]:

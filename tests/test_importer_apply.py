@@ -204,3 +204,38 @@ def test_apply_cli_flag(tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["specs"][0]["applied"].endswith("tag_person")
     assert out["specs"][0]["table_rows"] == 1
+
+
+def test_apply_update_missing_key_counts_failed_and_exits_1(tmp_path, capsys):
+    """Reference contract: an UPDATE whose key is absent fails server-side
+    and counts toward stats.IsFailed (pkg/importer/importer.go:110-128 +
+    pkg/cmd/nebula-importer.go:118-130) — the apply analog drops the row,
+    so the drop count must surface in --json and flip the exit code."""
+    import json
+
+    from nebula_importer_spark.__main__ import main
+
+    (tmp_path / "p.csv").write_text("1,a,10\n2,b,20\n")
+    (tmp_path / "c1.yaml").write_text(
+        _cfg(tmp_path, "p.csv", PERSON_SPEC.format(mode="INSERT"))
+    )
+    rc = main(["-c", str(tmp_path / "c1.yaml"), "--json",
+               "--apply-to", str(tmp_path / "store"), "--master", "local[2]"])
+    assert rc == 0
+
+    # second run: UPDATE one existing key and two missing keys
+    (tmp_path / "u.csv").write_text("1,al,11\n98,ghost,0\n99,ghost,0\n")
+    (tmp_path / "c2.yaml").write_text(
+        _cfg(tmp_path, "u.csv", PERSON_SPEC.format(mode="UPDATE"))
+    )
+    rc = main(["-c", str(tmp_path / "c2.yaml"), "--json",
+               "--apply-to", str(tmp_path / "store"), "--master", "local[2]"])
+    assert rc == 1
+    out = capsys.readouterr()
+    payload = json.loads(
+        [l for l in out.out.splitlines() if l.startswith("{")][-1]
+    )
+    assert payload["failed"] == 2
+    assert payload["specs"][0]["failed"] == 2
+    assert payload["specs"][0]["table_rows"] == 2  # table unchanged in size
+    assert "failed to import" in out.err

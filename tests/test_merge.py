@@ -130,3 +130,35 @@ def test_idempotent_reapply(spark):
     once = apply_mutations(table, batch, "UPSERT", key_cols=["vid"], seq_col="seq")
     twice = apply_mutations(once, batch, "UPSERT", key_cols=["vid"], seq_col="seq")
     assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_seq_none_duplicate_keys_raise(spark):
+    """seq_col=None requires a key-unique batch: there is no deterministic
+    "last" mutation without an order, and duplicate keys would silently
+    multiply rows through the join (ADVICE r4)."""
+    table = spark.createDataFrame(BASE, "vid int, name string, score int")
+    dup = spark.createDataFrame(
+        [(2, "x", 1), (2, "y", 2)], "vid int, name string, score int"
+    )
+    for mode in ("INSERT", "UPDATE", "UPSERT"):
+        with pytest.raises(ValueError, match="key-unique"):
+            apply_mutations(table, dup, mode, key_cols=["vid"])
+    # DELETE is key-idempotent: duplicates are fine
+    out = apply_mutations(table, dup, "DELETE", key_cols=["vid"])
+    assert sorted(r.vid for r in out.collect()) == [1, 3]
+
+
+def test_unmatched_update_rows_counts_drops(spark):
+    """UPDATE-dropped rows are countable for the failure contract: the
+    reference surfaces each missing-key UPDATE as a failed statement
+    (pkg/importer/importer.go:110-128)."""
+    from nebula_importer_spark.operators.merge import unmatched_update_rows
+
+    table = spark.createDataFrame(BASE, "vid int, name string, score int")
+    batch = spark.createDataFrame(
+        [(2, "x", 1, 1), (99, "ghost", 0, 2), (99, "ghost2", 0, 3)],
+        "vid int, name string, score int, seq int",
+    )
+    dropped = unmatched_update_rows(table, batch, ["vid"])
+    assert dropped.count() == 2  # batch ROWS, not distinct keys
+    assert {r.vid for r in dropped.collect()} == {99}
