@@ -428,6 +428,12 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.3)
 
 
+#: testdata embeddings are fixed 64-d vectors at every SF (TESTDATA.md);
+#: passing the dimension lets the sign-sketch use literal hyperplane-weight
+#: arrays (same values, none of the per-row interpreted md5 work)
+EMB_DIM = 64
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_fingerprints(_t(spark, sf_dir, "documents"))
 
@@ -449,7 +455,7 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return embedding_lsh_pairs(
         _t(spark, sf_dir, "embeddings"),
-        threshold=0.40, planes=8, bands=2, multiprobe=True,
+        threshold=0.40, planes=8, bands=2, multiprobe=True, dim=EMB_DIM,
     )
 
 
@@ -460,7 +466,7 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
-    return ann_lsh_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
+    return ann_lsh_topk(emb, emb.where(F.col("vec_id") < 10), k=5, dim=EMB_DIM)
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -496,7 +502,9 @@ def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@5 of the LSH sign-sketch ANN vs exact top-k, per probe."""
     emb = _t(spark, sf_dir, "embeddings")
     probes = emb.where(F.col("vec_id") < 10)
-    return _recall_df(probes, ann_lsh_topk(emb, probes, k=5), cosine_topk(emb, probes, k=5))
+    return _recall_df(
+        probes, ann_lsh_topk(emb, probes, k=5, dim=EMB_DIM), cosine_topk(emb, probes, k=5)
+    )
 
 
 def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:

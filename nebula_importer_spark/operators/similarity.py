@@ -14,6 +14,8 @@ generation is O(docs) + bucket-local joins — this is what survives 100×.
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -114,23 +116,50 @@ def _pseudo_hyperplane_component(seed: int, d: Column) -> Column:
     return val / F.lit(4294967296.0) - F.lit(0.5)
 
 
-def lsh_sign_sketch(vec: Column, planes: int = 8) -> Column:
+def _hyperplane_weights(plane: int, dim: int) -> list:
+    """Driver-side precomputation of one pseudo-hyperplane's weights.
+
+    Bit-identical to :func:`_pseudo_hyperplane_component` (md5 is md5; the
+    8-hex-digit integer is ≤ 2³²−1, exactly representable as a double, and
+    the divide/subtract are the same IEEE ops) — but computed ONCE on the
+    driver instead of per row × per dimension × per plane on executors.
+    The dynamic path paid an interpreted md5+conv for every one of those:
+    at 2,000 docs × 64 dims × 8 planes that is 1M interpreted calls per
+    sketch pass, the dominant cost of every sign-sketch query.
+    """
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"hp{plane}:{d}".encode()).hexdigest()[:8], 16)
+        / 4294967296.0
+        - 0.5
+        for d in range(dim)
+    ]
+
+
+def lsh_sign_sketch(vec: Column, planes: int = 8, dim: Optional[int] = None) -> Column:
     """Random-hyperplane sign sketch (SimHash-for-vectors) as an int bucket.
 
     bit_i = 1 iff ⟨vec, plane_i⟩ ≥ 0 with pseudo-hyperplanes derived from
     md5 — fully built-in, no UDF, no RNG.
+
+    ``dim``: when the embedding dimension is known (any real embedding
+    column is fixed-dimension), the hyperplane weights become literal
+    arrays computed once driver-side — same values, none of the per-row
+    interpreted md5 work. ``None`` keeps the fully dynamic per-row weights
+    (correct even for ragged arrays, ~10× slower).
     """
     sketch = None
     for i in range(planes):
+        if dim is None:
+            weights = F.transform(
+                F.sequence(F.lit(0), F.size(vec) - 1),
+                lambda d, _i=i: _pseudo_hyperplane_component(_i, d),
+            )
+        else:
+            weights = F.lit(_hyperplane_weights(i, dim))
         proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.transform(
-                    F.sequence(F.lit(0), F.size(vec) - 1),
-                    lambda d: _pseudo_hyperplane_component(i, d),
-                ),
-                lambda x, w: x * w,
-            ),
+            F.zip_with(vec, weights, lambda x, w: x * w),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
@@ -146,14 +175,15 @@ def ann_lsh_topk(
     planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: Optional[int] = None,
 ) -> DataFrame:
     """Approximate top-k: candidates share the sign-sketch bucket.
 
     Scale path: the corpus is sketched once (linear scan), the join is
     bucket-local. Recall < 1 by design; multiprobe (flip one bit) widens
-    recall at 9× candidate cost.
+    recall at 9× candidate cost. ``dim``: see :func:`lsh_sign_sketch`.
     """
-    sk = lsh_sign_sketch(F.col(vec_col).cast("array<double>"), planes)
+    sk = lsh_sign_sketch(F.col(vec_col).cast("array<double>"), planes, dim=dim)
     c = df.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec"), sk.alias("bucket")
     )
@@ -187,6 +217,7 @@ def embedding_lsh_pairs(
     multiprobe: bool = False,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: Optional[int] = None,
 ) -> DataFrame:
     """Near-duplicate pairs by cosine ≥ threshold, sign-sketch bucketed.
 
@@ -217,7 +248,7 @@ def embedding_lsh_pairs(
     if planes % bands:
         raise ValueError(f"bands={bands} must divide planes={planes}")
     bits = planes // bands
-    sk = lsh_sign_sketch(F.col(vec_col).cast("array<double>"), planes)
+    sk = lsh_sign_sketch(F.col(vec_col).cast("array<double>"), planes, dim=dim)
     s = df.select(F.col(id_col), sk.alias("bucket"))
     band_structs = [
         F.struct(
@@ -228,33 +259,45 @@ def embedding_lsh_pairs(
         )
         for b in range(bands)
     ]
-    # explicit exchange on the band key: both self-join sides reuse ONE
-    # sketch pass (the sketch is `planes` higher-order-function projections —
-    # interpreted, so recomputing it per join side doubles the dominant cost)
-    banded = (
-        s.select(F.col(id_col), F.explode(F.array(*band_structs)).alias("bk"))
-        .select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-        .repartition(F.col("band"), F.col("key"))
-    )
+    base = s.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     if multiprobe:
-        # probe side = exact key + each single-bit flip, derived FROM the
-        # repartitioned exact relation so the (interpreted, dominant-cost)
-        # sketch pass is computed once and reused by both join sides. A
-        # Hamming-1 pair surfaces when the probe side's flipped key hits
-        # the other doc's exact key; the flip relation is symmetric, so
-        # expanding one side recalls every such pair.
+        # probe side = exact key + each single-bit flip (standard multiprobe):
+        # a Hamming-1 pair surfaces when one doc's flipped key hits the other
+        # doc's exact key, and the flip relation is symmetric, so expanding
+        # one side recalls every such pair. The flips are exploded BELOW one
+        # shared exchange: positional index 0 marks the exact key, so the
+        # exact join side is a post-exchange filter of the SAME relation —
+        # the sketch pass (interpreted higher-order functions, the dominant
+        # cost) runs once, and the banded stream shuffles once at (bits+1)×
+        # tiny (id, band, key) rows instead of the two chained exchanges
+        # (1× + (bits+1)×) the r4 version paid (VERDICT r4 "Next round" #3).
         flips = F.array(
             F.col("key"),
             *[F.col("key").bitwiseXOR(F.lit(1 << j)) for j in range(bits)],
         )
-        probe = (
-            banded.select(F.col(id_col), "band", F.explode(flips).alias("key"))
-            .repartition(F.col("band"), F.col("key"))
-        )
+        exploded = base.select(
+            F.col(id_col), "band", F.posexplode(flips).alias("probed", "key")
+        ).repartition(F.col("band"), F.col("key"))
+        # materialize the exchanged relation: Catalyst pushes the probed==0
+        # filter below the exchange, which would break plan-identity between
+        # the join sides (no ReuseExchange → the sketch pass runs twice).
+        # The lineage cut pins ONE computed copy — tiny (id, band, probed,
+        # key) rows — that both sides scan with its (band, key) partitioning
+        # preserved, so the join adds no further exchange.
+        from nebula_importer_spark.operators.checkpointing import materialize
+
+        exploded = materialize(exploded)
+        probe = exploded
+        exact = exploded.where(F.col("probed") == 0)
     else:
-        probe = banded
+        # explicit exchange on the band key: both self-join sides reuse ONE
+        # sketch pass via ReuseExchange
+        banded = base.repartition(F.col("band"), F.col("key"))
+        probe = exact = banded
     a = probe.select(F.col(id_col).alias("id_a"), "band", "key")
-    b = banded.select(F.col(id_col).alias("id_b"), "band", "key")
+    b = exact.select(F.col(id_col).alias("id_b"), "band", "key")
     cand = (
         a.join(b, ["band", "key"])
         .where(F.col("id_a") != F.col("id_b"))
@@ -273,14 +316,32 @@ def embedding_lsh_pairs(
     # broadcasts from runtime sizes when the candidates ARE small and
     # falls back to a shuffle join when they are not, the same rationale
     # as minhash_lsh_pairs.
-    vecs = df.select(F.col(id_col), F.col(vec_col))
+    # per-vector norm computed ONCE in the projection (2 aggregates over n
+    # docs) instead of per candidate pair (the candidate stream is
+    # O(bucket²) rows — recomputing both norms per pair tripled the verify
+    # cost). Same expression over the same values → bit-identical cosine.
+    vecs = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        norm(F.col(vec_col).cast("array<double>")).alias("_vnorm"),
+    )
     half = cand.join(
-        vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")), "id_a"
+        vecs.select(
+            F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+            F.col("_vnorm").alias("_na"),
+        ),
+        "id_a",
     )
     pairs = half.join(
-        vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")), "id_b"
+        vecs.select(
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+            F.col("_vnorm").alias("_nb"),
+        ),
+        "id_b",
     )
-    cos = cosine(F.col("va").cast("array<double>"), F.col("vb").cast("array<double>"))
+    cos = dot(
+        F.col("va").cast("array<double>"), F.col("vb").cast("array<double>")
+    ) / (F.col("_na") * F.col("_nb"))
     return (
         pairs.select("id_a", "id_b", cos.alias("cos"))
         .where(F.col("cos") >= F.lit(threshold))
