@@ -162,3 +162,27 @@ def test_unmatched_update_rows_counts_drops(spark):
     dropped = unmatched_update_rows(table, batch, ["vid"])
     assert dropped.count() == 2  # batch ROWS, not distinct keys
     assert {r.vid for r in dropped.collect()} == {99}
+
+
+def test_apply_join_broadcasts_small_batch(spark):
+    """A small mutation batch against a big table must broadcast: AQE picks
+    BroadcastHashJoin from runtime sizes (no forced hint in merge.py — an
+    initial-load batch can be table-sized). UPDATE (left join, batch right)
+    and DELETE (left_anti) are the broadcastable shapes; UPSERT's full-outer
+    join cannot use broadcast-hash in Spark by definition and legitimately
+    exchanges both sides."""
+    table = spark.range(0, 50_000).selectExpr(
+        "cast(id as string) vid", "cast(id % 97 as string) name"
+    )
+    batch = spark.createDataFrame(
+        [(str(i), f"n{i}", i) for i in range(8)], "vid string, name string, seq long"
+    )
+    for mode in ("UPDATE", "DELETE"):
+        out = apply_mutations(table, batch, mode, key_cols=["vid"], seq_col="seq")
+        # collect() executes the DataFrame's OWN QueryExecution, so the
+        # adaptive final plan is inspectable afterwards (a write spawns a
+        # separate execution and leaves this one isFinalPlan=false)
+        assert len(out.collect()) == 50_000 - (8 if mode == "DELETE" else 0)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "BroadcastHashJoin" in plan, f"{mode} apply did not broadcast:\n{plan}"

@@ -68,6 +68,45 @@ COMMENTARY = {
         "`TakeOrderedAndProject` — each partition keeps its local k and "
         "the driver merges k×partitions rows. No global sort anywhere."
     ),
+    "map_apply_upsert": (
+        "Semantic MERGE (UPSERT): the batch collapses to one row per key "
+        "via map-side-combinable `max_by` partials (`HashAggregate` "
+        "partial→Exchange→final), then ONE key join against the table. "
+        "UPSERT is a full-outer join — not broadcastable by definition in "
+        "Spark, so both sides exchange on the key; UPDATE/DELETE applies "
+        "broadcast the small batch (AQE, asserted in "
+        "tests/test_merge.py::test_apply_join_broadcasts_small_batch). No "
+        "windows (a per-key window would sort the table), no driver state."
+    ),
+    "map_apply_delete": (
+        "Semantic DELETE: distinct batch keys anti-join the table "
+        "(`LeftAnti`). The batch is the small side — AQE broadcasts it at "
+        "runtime size, so the table never shuffles for the delete."
+    ),
+    "dedup_embedding_lsh": (
+        "Multiprobe sign-sketch near-dup, single-exchange form (r5): the "
+        "banded keys + their single-bit flips are posexploded BELOW one "
+        "`repartition(band, key)` and the relation is materialized, so the "
+        "plan shows both self-join sides as `Scan ExistingRDD` over the "
+        "SAME computed relation — the (interpreted, dominant-cost) sketch "
+        "pass ran once and the candidate stream shuffled once at (bits+1)× "
+        "tiny rows, vs the r4 chain of two exchanges. Hyperplane weights "
+        "are literal arrays (driver-precomputed md5, bit-identical), and "
+        "the verify join reads per-vector norms computed once in the "
+        "projection, not per candidate pair."
+    ),
+    "kg_canonicalize_cc": (
+        "Canonicalization via min-label connected components: the final "
+        "plan joins doc ids against the materialized component labels "
+        "(`Scan ExistingRDD` — each CC round is lineage-cut through "
+        "`materialize()`, reliable `checkpoint()` iff a checkpoint dir is "
+        "configured, tests/test_checkpointing.py). Per-round shape: one "
+        "edge-label join + one `min` aggregation, probe reads the round's "
+        "own cached `_chg` flag. `algorithm='auto'` caps min-label at 12 "
+        "rounds and falls back to large/small-star (ConvergenceError), so "
+        "dedup-shaped graphs get O(diameter) rounds and chain-shaped "
+        "graphs get O(log² n)."
+    ),
 }
 
 
